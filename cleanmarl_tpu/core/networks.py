@@ -1,0 +1,198 @@
+"""Functional neural-network core: plain-pytree params + pure apply fns.
+
+Design: instead of an object-oriented module system (the reference uses
+torch ``nn.Module`` / flax ``nnx``, e.g. /root/reference/cleanmarl/
+vdn.py:79-95, vdn_jax.py:77-109), parameters are plain nested dicts of
+``jnp`` arrays and every forward is a pure function. This makes vmap over
+the agent axis, scan over time, sharding annotations, and donation
+trivial, and keeps every op visible to XLA for fusion.
+
+Architectures provided (dims follow the reference's defaults — MLPs of
+hidden 64-128, 1-2 layers, ReLU):
+
+- ``mlp``            — Q-network / critic trunk (vdn.py:79-95)
+- ``masked_q``       — avail-action masking with a large negative
+                       (reference uses -inf masked_fill, vdn.py:93-94;
+                       we use a finite constant so that an all-masked row
+                       cannot produce NaNs under softmax)
+- ``gru``            — GRUCell matching torch semantics (the reference's
+                       "lstm" files actually use GRU, vdn_lstm.py:88)
+- ``hyper_mixer``    — QMIX monotonic mixing hypernetwork
+                       (qmix.py:98-123)
+
+Initialization is orthogonal for kernels (as in the reference JAX ports,
+vdn_jax.py:80-90) and zeros for biases.
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Sequence
+
+import chex
+import jax
+import jax.numpy as jnp
+
+MASK_NEG = -1e9
+
+
+# ---------------------------------------------------------------------------
+# initializers
+# ---------------------------------------------------------------------------
+
+def orthogonal(key: chex.PRNGKey, shape, gain: float = 1.0, dtype=jnp.float32):
+    """Orthogonal init (QR of a Gaussian), matching
+    jax.nn.initializers.orthogonal semantics."""
+    return jax.nn.initializers.orthogonal(scale=gain)(key, shape, dtype)
+
+
+def dense_init(key, in_dim: int, out_dim: int, gain: float = math.sqrt(2.0)):
+    wkey, _ = jax.random.split(key)
+    return {
+        "w": orthogonal(wkey, (in_dim, out_dim), gain=gain),
+        "b": jnp.zeros((out_dim,), jnp.float32),
+    }
+
+
+def dense(params, x):
+    return x @ params["w"] + params["b"]
+
+
+# ---------------------------------------------------------------------------
+# MLP
+# ---------------------------------------------------------------------------
+
+def mlp_init(
+    key: chex.PRNGKey,
+    in_dim: int,
+    hidden_dim: int,
+    out_dim: int,
+    num_layers: int = 1,
+    final_gain: float = 1.0,
+):
+    """Trunk of ``num_layers + 1`` hidden Linear+ReLU then a Linear head —
+    the same depth convention as the reference's Qnetwrok
+    (/root/reference/cleanmarl/vdn.py:79-95: one input layer, num_layer
+    hidden layers, one output layer)."""
+    n_hidden = num_layers + 1
+    keys = jax.random.split(key, n_hidden + 1)
+    layers = []
+    d = in_dim
+    for i in range(n_hidden):
+        layers.append(dense_init(keys[i], d, hidden_dim))
+        d = hidden_dim
+    head = dense_init(keys[-1], d, out_dim, gain=final_gain)
+    return {"layers": layers, "head": head}
+
+
+def mlp_apply(params, x, activation: Callable = jax.nn.relu):
+    for layer in params["layers"]:
+        x = activation(dense(layer, x))
+    return dense(params["head"], x)
+
+
+def masked_q(q: chex.Array, avail: Optional[chex.Array]) -> chex.Array:
+    """Mask unavailable actions to a large negative (vdn.py:93-94)."""
+    if avail is None:
+        return q
+    return jnp.where(avail.astype(bool), q, MASK_NEG)
+
+
+# ---------------------------------------------------------------------------
+# GRU cell (torch nn.GRUCell semantics — vdn_lstm.py:88)
+# ---------------------------------------------------------------------------
+
+def gru_init(key: chex.PRNGKey, in_dim: int, hidden_dim: int):
+    k = jax.random.split(key, 6)
+    def mat(kk, d_in):
+        return orthogonal(kk, (d_in, hidden_dim), gain=1.0)
+    return {
+        "wir": mat(k[0], in_dim), "whr": mat(k[1], hidden_dim),
+        "wiz": mat(k[2], in_dim), "whz": mat(k[3], hidden_dim),
+        "win": mat(k[4], in_dim), "whn": mat(k[5], hidden_dim),
+        "bir": jnp.zeros((hidden_dim,)), "bhr": jnp.zeros((hidden_dim,)),
+        "biz": jnp.zeros((hidden_dim,)), "bhz": jnp.zeros((hidden_dim,)),
+        "bin": jnp.zeros((hidden_dim,)), "bhn": jnp.zeros((hidden_dim,)),
+    }
+
+
+def gru_apply(params, h: chex.Array, x: chex.Array) -> chex.Array:
+    """h' = GRUCell(x, h). Shapes: x (..., in_dim), h (..., hidden)."""
+    r = jax.nn.sigmoid(x @ params["wir"] + params["bir"] + h @ params["whr"] + params["bhr"])
+    z = jax.nn.sigmoid(x @ params["wiz"] + params["biz"] + h @ params["whz"] + params["bhz"])
+    n = jnp.tanh(x @ params["win"] + params["bin"] + r * (h @ params["whn"] + params["bhn"]))
+    return (1.0 - z) * n + z * h
+
+
+# ---------------------------------------------------------------------------
+# Recurrent Q-net / actor trunk: fc1 -> relu -> GRU -> fc2
+# (vdn_lstm.py:83-99, ippo_lstm.py:161-183)
+# ---------------------------------------------------------------------------
+
+def rnn_init(key, in_dim: int, hidden_dim: int, out_dim: int, final_gain: float = 1.0):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "fc1": dense_init(k1, in_dim, hidden_dim),
+        "gru": gru_init(k2, hidden_dim, hidden_dim),
+        "head": dense_init(k3, hidden_dim, out_dim, gain=final_gain),
+    }
+
+
+def rnn_apply(params, h, x):
+    """Returns (h', out). x (..., in_dim), h (..., hidden_dim)."""
+    z = jax.nn.relu(dense(params["fc1"], x))
+    h2 = gru_apply(params["gru"], h, z)
+    return h2, dense(params["head"], h2)
+
+
+def rnn_initial_state(batch_shape, hidden_dim: int) -> chex.Array:
+    return jnp.zeros(tuple(batch_shape) + (hidden_dim,), jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# QMIX monotonic mixing hypernetwork (qmix.py:98-123)
+# ---------------------------------------------------------------------------
+
+def mixer_init(key, n_agents: int, state_dim: int, embed_dim: int, hyper_dim: int):
+    """Hypernetworks from the global state produce the mixing weights:
+    |W1| (n_agents×embed), b1, |W2| (embed×1), b2 with non-negative W via
+    abs — guaranteeing monotonicity in each agent utility
+    (qmix.py:110-123)."""
+    k = jax.random.split(key, 4)
+    return {
+        "hw1": mlp_init(k[0], state_dim, hyper_dim, n_agents * embed_dim, num_layers=0),
+        "hb1": dense_init(k[1], state_dim, embed_dim, gain=1.0),
+        "hw2": mlp_init(k[2], state_dim, hyper_dim, embed_dim, num_layers=0),
+        "hb2": mlp_init(k[3], state_dim, hyper_dim, 1, num_layers=0),
+        "dims": (n_agents, embed_dim),
+    }
+
+
+def mixer_apply(params, agent_qs: chex.Array, state: chex.Array) -> chex.Array:
+    """agent_qs (..., n_agents), state (..., state_dim) → Q_tot (...)."""
+    n_agents, embed_dim = params["dims"]
+    w1 = jnp.abs(mlp_apply(params["hw1"], state))
+    w1 = w1.reshape(state.shape[:-1] + (n_agents, embed_dim))
+    b1 = dense(params["hb1"], state)
+    w2 = jnp.abs(mlp_apply(params["hw2"], state))
+    b2 = mlp_apply(params["hb2"], state)
+    hidden = jax.nn.elu(jnp.einsum("...a,...ae->...e", agent_qs, w1) + b1)
+    qtot = jnp.einsum("...e,...e->...", hidden, w2) + b2[..., 0]
+    return qtot
+
+
+# ---------------------------------------------------------------------------
+# misc
+# ---------------------------------------------------------------------------
+
+def soft_update(target_params, online_params, polyak: float):
+    """Polyak averaging θ' ← (1-τ)θ' + τθ (vdn.py:178-182; tree-map
+    version vdn_jax.py:208-212)."""
+    return jax.tree.map(
+        lambda t, o: (1.0 - polyak) * t + polyak * o, target_params, online_params
+    )
+
+
+def global_norm(tree) -> chex.Array:
+    """L2 norm over a gradient pytree (``norm_d``, vdn.py:172-175)."""
+    leaves = jax.tree.leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(l)) for l in leaves))

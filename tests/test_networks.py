@@ -1,0 +1,87 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cleanmarl_tpu.core import networks as nets
+
+
+def test_mlp_shapes_and_depth():
+    key = jax.random.PRNGKey(0)
+    params = nets.mlp_init(key, 10, 32, 5, num_layers=2)
+    # num_layers=2 → 3 hidden Linear+ReLU plus head (vdn.py:79-95 convention)
+    assert len(params["layers"]) == 3
+    out = nets.mlp_apply(params, jnp.ones((4, 7, 10)))
+    assert out.shape == (4, 7, 5)
+
+
+def test_orthogonal_init_is_orthogonal():
+    key = jax.random.PRNGKey(1)
+    w = nets.orthogonal(key, (64, 64), gain=1.0)
+    np.testing.assert_allclose(w.T @ w, np.eye(64), atol=1e-4)
+
+
+def test_masked_q_blocks_unavailable():
+    q = jnp.array([[1.0, 5.0, 3.0]])
+    avail = jnp.array([[True, False, True]])
+    masked = nets.masked_q(q, avail)
+    assert masked[0, 1] <= nets.MASK_NEG
+    assert jnp.argmax(masked, axis=-1)[0] == 2
+
+
+def test_gru_matches_torch_grucell():
+    torch = pytest.importorskip("torch")
+    torch.set_num_threads(1)  # avoid OpenMP/XLA threadpool clashes
+    key = jax.random.PRNGKey(2)
+    in_dim, hidden = 6, 8
+    params = nets.gru_init(key, in_dim, hidden)
+    x = np.random.RandomState(0).randn(3, in_dim).astype(np.float32)
+    h = np.random.RandomState(1).randn(3, hidden).astype(np.float32)
+    out = nets.gru_apply(params, jnp.asarray(h), jnp.asarray(x))
+
+    cell = torch.nn.GRUCell(in_dim, hidden)
+    with torch.no_grad():
+        cell.weight_ih.copy_(
+            torch.tensor(
+                np.concatenate(
+                    [np.asarray(params[k]).T for k in ("wir", "wiz", "win")], axis=0
+                )
+            )
+        )
+        cell.weight_hh.copy_(
+            torch.tensor(
+                np.concatenate(
+                    [np.asarray(params[k]).T for k in ("whr", "whz", "whn")], axis=0
+                )
+            )
+        )
+        cell.bias_ih.zero_()
+        cell.bias_hh.zero_()
+        ref = cell(torch.tensor(x), torch.tensor(h)).numpy()
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
+
+
+def test_mixer_monotone_in_agent_qs():
+    key = jax.random.PRNGKey(3)
+    n_agents, state_dim = 3, 12
+    params = nets.mixer_init(key, n_agents, state_dim, embed_dim=16, hyper_dim=32)
+    state = jax.random.normal(jax.random.PRNGKey(4), (5, state_dim))
+    qs = jax.random.normal(jax.random.PRNGKey(5), (5, n_agents))
+    base = nets.mixer_apply(params, qs, state)
+    bumped = nets.mixer_apply(params, qs + 0.5, state)
+    assert jnp.all(bumped >= base)  # |W| ≥ 0 ⇒ monotone (qmix.py:110-123)
+
+
+def test_soft_update_convex_combination():
+    t = {"w": jnp.zeros((3,))}
+    o = {"w": jnp.ones((3,))}
+    out = nets.soft_update(t, o, 0.25)
+    np.testing.assert_allclose(out["w"], 0.25 * np.ones(3))
+
+
+def test_rnn_apply_shapes():
+    key = jax.random.PRNGKey(6)
+    params = nets.rnn_init(key, 9, 16, 4)
+    h = nets.rnn_initial_state((2, 3), 16)
+    h2, out = nets.rnn_apply(params, h, jnp.ones((2, 3, 9)))
+    assert h2.shape == (2, 3, 16) and out.shape == (2, 3, 4)
