@@ -1,0 +1,332 @@
+"""Shared IPPO/MAPPO machinery (clipped PPO + TD(λ) on rollout streams).
+
+TPU-native rebuild of /root/reference/cleanmarl/ippo.py and mappo.py
+(which are byte-for-byte identical except for the critic input —
+obs for IPPO ippo.py:259, global state for MAPPO mappo.py:258 with the
+value broadcast to agents mappo.py:462; SURVEY.md §2.4):
+
+- The reference collects exactly ``batch_size`` complete episodes via
+  Python env loops / Pipe workers and pads them. Here a fixed-length
+  rollout (default = episode_limit) is collected from ``num_envs``
+  auto-reset on-device envs by ``lax.scan``; λ-returns are computed
+  over the stream with episode boundaries from the ended flags
+  (ops/returns.py), which is exactly the reference's per-episode
+  recursion when rollouts align with episodes and the standard
+  bootstrapped-tail extension when an episode is cut mid-rollout.
+- PPO loss follows ippo.py:429-484: ratio from stored behaviour
+  log-probs, clip, entropy bonus, full-batch epochs (3, no
+  minibatching), value MSE vs the λ-return, KL (k3 estimator
+  (ratio−1)−log ratio) + clip-fraction diagnostics, separate actor
+  and critic optimizers (ippo.py:263-265).
+- Truncation is NOT bootstrapped (next_value = 0 at the terminal step
+  of every episode, ippo.py:399-401) — reproduced by folding
+  ``truncated`` into the ``ended`` flags.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Any
+
+import chex
+import jax
+import jax.numpy as jnp
+import optax
+
+from cleanmarl_tpu.core import networks as nets
+from cleanmarl_tpu.core.evaluation import make_evaluator
+from cleanmarl_tpu.core.logger import Logger
+from cleanmarl_tpu.core.metrics import EpisodeStats
+from cleanmarl_tpu.core.optim import make_optimizer
+from cleanmarl_tpu.envs import registry
+from cleanmarl_tpu.envs.base import VecEnv
+from cleanmarl_tpu.ops.returns import lambda_advantages
+
+
+@dataclass
+class PPOConfig:
+    # defaults follow ippo.py:17-76 / mappo.py
+    env_type: str = "matrix"
+    env_name: str = ""
+    env_family: str = "mpe"
+    agent_ids: bool = True
+    num_envs: int = 16              # parallel on-device envs
+    rollout_len: int = 0            # 0 → env.episode_limit
+    actor_hidden_dim: int = 32
+    actor_num_layers: int = 1
+    critic_hidden_dim: int = 32
+    critic_num_layers: int = 1
+    optimizer: str = "adam"
+    learning_rate_actor: float = 8e-4
+    learning_rate_critic: float = 8e-4
+    total_timesteps: int = 1_000_000
+    gamma: float = 0.99
+    td_lambda: float = 0.95
+    normalize_advantage: bool = False
+    ppo_clip: float = 0.2
+    entropy_coef: float = 0.001
+    epochs: int = 3
+    clip_gradients: float = -1.0
+    log_interval: int = 8           # rollouts per host log
+    eval_steps: int = 50_000        # env transitions between evals
+    num_eval_ep: int = 10
+    seed: int = 1
+    verbose: bool = True
+
+
+@chex.dataclass(frozen=True)
+class PPORunnerState:
+    actor_params: Any
+    critic_params: Any
+    actor_opt: Any
+    critic_opt: Any
+    env_state: Any
+    obs: chex.Array
+    state: chex.Array
+    avail: chex.Array
+    stats: EpisodeStats
+    step: chex.Array      # () int32 — env transitions so far
+    num_updates: chex.Array
+    key: chex.PRNGKey
+
+
+def masked_logits(actor_params, obs, avail):
+    return nets.masked_q(nets.mlp_apply(actor_params, obs), avail)
+
+
+def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
+               algo_name: str = "IPPO"):
+    if env is None:
+        env = registry.make(cfg.env_type, cfg.env_name, agent_ids=cfg.agent_ids)
+    vec = VecEnv(env, cfg.num_envs)
+    rollout_len = cfg.rollout_len or env.episode_limit
+    actor_opt = make_optimizer(cfg.optimizer, cfg.learning_rate_actor, cfg.clip_gradients)
+    critic_opt = make_optimizer(cfg.optimizer, cfg.learning_rate_critic, cfg.clip_gradients)
+    critic_in = env.state_dim if centralized else env.obs_dim
+
+    def critic_values(critic_params, batch_obs, batch_state):
+        """→ values broadcast per agent (..., n_agents)."""
+        if centralized:
+            v = nets.mlp_apply(critic_params, batch_state)[..., 0]   # (...,)
+            return jnp.broadcast_to(
+                v[..., None], v.shape + (env.n_agents,)
+            )
+        return nets.mlp_apply(critic_params, batch_obs)[..., 0]      # (..., n)
+
+    def init(key: chex.PRNGKey) -> PPORunnerState:
+        ka, kc, kreset, key = jax.random.split(key, 4)
+        actor_params = nets.mlp_init(
+            ka, env.obs_dim, cfg.actor_hidden_dim, env.n_actions,
+            cfg.actor_num_layers, final_gain=0.01,
+        )
+        critic_params = nets.mlp_init(
+            kc, critic_in, cfg.critic_hidden_dim, 1, cfg.critic_num_layers
+        )
+        env_state, ts = vec.reset(kreset)
+        return PPORunnerState(
+            actor_params=actor_params,
+            critic_params=critic_params,
+            actor_opt=actor_opt.init(actor_params),
+            critic_opt=critic_opt.init(critic_params),
+            env_state=env_state,
+            obs=ts.obs,
+            state=ts.state,
+            avail=ts.avail,
+            stats=EpisodeStats.create(cfg.num_envs),
+            step=jnp.zeros((), jnp.int32),
+            num_updates=jnp.zeros(()),
+            key=key,
+        )
+
+    # ------------------------------------------------------------------
+    def collect_rollout(runner: PPORunnerState):
+        def step_fn(carry, _):
+            env_state, obs, state, avail, stats, key = carry
+            key, k_act, k_step = jax.random.split(key, 3)
+            logits = masked_logits(runner.actor_params, obs, avail)
+            keys = jax.random.split(k_act, cfg.num_envs * env.n_agents).reshape(
+                cfg.num_envs, env.n_agents, 2
+            )
+            actions = jax.vmap(jax.vmap(jax.random.categorical))(keys, logits)
+            actions = actions.astype(jnp.int32)
+            logp = jnp.take_along_axis(
+                jax.nn.log_softmax(logits, axis=-1), actions[..., None], axis=-1
+            )[..., 0]
+            env_state, ts2, final = vec.step(env_state, actions, k_step)
+            ended = jnp.logical_or(ts2.done, ts2.truncated)
+            stats = stats.step(
+                ts2.reward, ended,
+                ts2.info.get("battle_won", jnp.zeros_like(ts2.reward)),
+            )
+            out = {
+                "obs": obs, "state": state, "avail": avail,
+                "action": actions, "logp": logp,
+                "reward": ts2.reward, "ended": ended,
+            }
+            return (env_state, ts2.obs, ts2.state, ts2.avail, stats, key), out
+
+        key, scan_key = jax.random.split(runner.key)
+        carry0 = (
+            runner.env_state, runner.obs, runner.state, runner.avail,
+            runner.stats, scan_key,
+        )
+        carry, traj = jax.lax.scan(step_fn, carry0, None, length=rollout_len)
+        env_state, obs, state, avail, stats, _ = carry
+        runner = runner.replace(
+            env_state=env_state, obs=obs, state=state, avail=avail,
+            stats=stats, key=key,
+            step=runner.step + rollout_len * cfg.num_envs,
+        )
+        return runner, traj
+
+    # ------------------------------------------------------------------
+    def ppo_update(runner: PPORunnerState, traj):
+        # advantages with the pre-update critic (ippo.py:394-411)
+        values = critic_values(runner.critic_params, traj["obs"], traj["state"])
+        vboot = critic_values(
+            runner.critic_params, runner.obs, runner.state
+        )  # V(o_T) of the live (post-rollout) obs
+        reward = jnp.broadcast_to(
+            traj["reward"][..., None], values.shape
+        )
+        ended = jnp.broadcast_to(traj["ended"][..., None], values.shape)
+        returns, adv = lambda_advantages(
+            reward, ended, values, vboot, cfg.gamma, cfg.td_lambda
+        )
+        returns = jax.lax.stop_gradient(returns)
+        adv = jax.lax.stop_gradient(adv)
+        if cfg.normalize_advantage:
+            adv = (adv - adv.mean()) / (adv.std() + 1e-8)
+
+        def actor_loss_fn(actor_params):
+            logits = masked_logits(actor_params, traj["obs"], traj["avail"])
+            logp_all = jax.nn.log_softmax(logits, axis=-1)
+            logp = jnp.take_along_axis(
+                logp_all, traj["action"][..., None], axis=-1
+            )[..., 0]
+            log_ratio = logp - traj["logp"]
+            ratio = jnp.exp(log_ratio)
+            pg1 = adv * ratio
+            pg2 = adv * jnp.clip(ratio, 1.0 - cfg.ppo_clip, 1.0 + cfg.ppo_clip)
+            pg = jnp.minimum(pg1, pg2).mean()
+            p = jnp.exp(logp_all)
+            entropy = -jnp.sum(p * logp_all, axis=-1).mean()
+            loss = -pg - cfg.entropy_coef * entropy
+            kl = ((ratio - 1.0) - log_ratio).mean()
+            clipped = (jnp.abs(ratio - 1.0) > cfg.ppo_clip).astype(jnp.float32).mean()
+            return loss, (entropy, kl, clipped)
+
+        def critic_loss_fn(critic_params):
+            v = critic_values(critic_params, traj["obs"], traj["state"])
+            return jnp.mean(jnp.square(v - returns))
+
+        def epoch(carry, _):
+            a_params, c_params, a_opt, c_opt = carry
+            (a_loss, (entropy, kl, clipped)), a_grads = jax.value_and_grad(
+                actor_loss_fn, has_aux=True
+            )(a_params)
+            c_loss, c_grads = jax.value_and_grad(critic_loss_fn)(c_params)
+            a_gnorm = nets.global_norm(a_grads)
+            c_gnorm = nets.global_norm(c_grads)
+            a_updates, a_opt = actor_opt.update(a_grads, a_opt, a_params)
+            a_params = optax.apply_updates(a_params, a_updates)
+            c_updates, c_opt = critic_opt.update(c_grads, c_opt, c_params)
+            c_params = optax.apply_updates(c_params, c_updates)
+            m = {
+                "train/actor_loss": a_loss,
+                "train/critic_loss": c_loss,
+                "train/entropy": entropy,
+                "train/kl_divergence": kl,
+                "train/clipped_ratios": clipped,
+                "train/actor_gradients": a_gnorm,
+                "train/critic_gradients": c_gnorm,
+            }
+            return (a_params, c_params, a_opt, c_opt), m
+
+        carry0 = (
+            runner.actor_params, runner.critic_params,
+            runner.actor_opt, runner.critic_opt,
+        )
+        (a_params, c_params, a_opt, c_opt), ms = jax.lax.scan(
+            epoch, carry0, None, length=cfg.epochs
+        )
+        metrics = jax.tree.map(jnp.mean, ms)
+        runner = runner.replace(
+            actor_params=a_params, critic_params=c_params,
+            actor_opt=a_opt, critic_opt=c_opt,
+            num_updates=runner.num_updates + cfg.epochs,
+        )
+        return runner, metrics
+
+    # ------------------------------------------------------------------
+    def rollout_and_update(runner, _):
+        runner, traj = collect_rollout(runner)
+        runner, metrics = ppo_update(runner, traj)
+        return runner, metrics
+
+    @jax.jit
+    def train_block(runner: PPORunnerState):
+        runner, ms = jax.lax.scan(
+            rollout_and_update, runner, None, length=cfg.log_interval
+        )
+        metrics = {
+            **runner.stats.rollout_metrics(),
+            **{k: v[-1] for k, v in ms.items()},
+            "train/num_updates": runner.num_updates,
+        }
+        return runner.replace(stats=runner.stats.flush()), metrics
+
+    def sampled_policy(params, carry, obs, avail, key):
+        logits = masked_logits(params, obs, avail)
+        n_env = obs.shape[0]
+        keys = jax.random.split(key, n_env * env.n_agents).reshape(
+            n_env, env.n_agents, 2
+        )
+        actions = jax.vmap(jax.vmap(jax.random.categorical))(keys, logits)
+        return carry, actions.astype(jnp.int32)
+
+    eval_fn = jax.jit(make_evaluator(env, cfg.num_eval_ep, sampled_policy))
+    meta = {
+        "rollout_len": rollout_len,
+        "steps_per_block": rollout_len * cfg.num_envs * cfg.log_interval,
+        "algo_name": algo_name,
+    }
+    return init, train_block, eval_fn, meta
+
+
+def train(cfg: PPOConfig, env=None, centralized: bool = False,
+          algo_name: str = "IPPO", logger: Logger | None = None):
+    init, train_block, eval_fn, meta = make_train(cfg, env, centralized, algo_name)
+    own_logger = logger is None
+    if own_logger:
+        logger = Logger(algo_name, cfg)
+    key = jax.random.PRNGKey(cfg.seed)
+    init_key, eval_key = jax.random.split(key)
+    runner = init(init_key)
+    num_blocks = max(1, cfg.total_timesteps // meta["steps_per_block"])
+    eval_every = max(1, cfg.eval_steps // meta["steps_per_block"])
+    eval_metrics = {}
+    t0 = time.time()
+    for block in range(num_blocks):
+        runner, metrics = train_block(runner)
+        env_steps = int(runner.step)
+        metrics = {k: float(v) for k, v in metrics.items()}
+        metrics["perf/env_steps_per_s"] = env_steps / max(time.time() - t0, 1e-9)
+        logger.log(metrics, env_steps)
+        if cfg.verbose:
+            print(
+                f"[{algo_name}] step={env_steps} "
+                f"ep_reward={metrics['rollout/ep_reward']:.2f} "
+                f"actor_loss={metrics['train/actor_loss']:.4f} "
+                f"sps={metrics['perf/env_steps_per_s']:,.0f}",
+                flush=True,
+            )
+        if (block + 1) % eval_every == 0:
+            eval_key, k = jax.random.split(eval_key)
+            eval_metrics = {
+                k2: float(v) for k2, v in eval_fn(runner.actor_params, k).items()
+            }
+            logger.log(eval_metrics, env_steps)
+    if own_logger:
+        logger.close()
+    return runner, eval_metrics

@@ -1,0 +1,305 @@
+"""QMIX — monotonic value factorisation with a state-conditioned
+hypernetwork mixer.
+
+TPU-native rebuild of /root/reference/cleanmarl/qmix.py (+ qmix_jax.py,
+qmix_multienvs.py): episodes are assembled on-device from the auto-reset
+env batch (EpisodeAccumulator replaces the alive-envs Python collection,
+qmix_multienvs.py:423-472), stored in a fixed-T HBM episode ring, and
+the update is the dense masked TD loss over the whole (B, T) block at
+once (the reference's per-timestep Python loop, qmix.py:391-414, is the
+JAX port's dense form qmix_jax.py:296-334):
+
+    target  = r_t + γ(1−d_t)·Mixer'(max_a Q'(o_{t+1}), s_{t+1})
+    loss    = Σ_{b,t} m_{b,t}·(target − Mixer(Q(o_t)[a_t], s_t))² / Σ m
+
+One optimizer covers Q-net + mixer (qmix.py:428; nnx.Dict grouping in
+qmix_jax.py:373-386). Update/target cadence counts *completed episodes*
+(qmix.py:377, 434), preserved here via an on-device episode counter.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Any
+
+import chex
+import jax
+import jax.numpy as jnp
+import optax
+
+from cleanmarl_tpu.buffers.episode import EpisodeAccumulator, EpisodeBuffer
+from cleanmarl_tpu.core import networks as nets
+from cleanmarl_tpu.core.acting import eps_greedy, masked_argmax
+from cleanmarl_tpu.core.evaluation import make_evaluator
+from cleanmarl_tpu.core.logger import Logger
+from cleanmarl_tpu.core.metrics import EpisodeStats
+from cleanmarl_tpu.core.optim import make_optimizer
+from cleanmarl_tpu.core.schedules import linear_schedule
+from cleanmarl_tpu.envs import registry
+from cleanmarl_tpu.envs.base import VecEnv
+
+
+@dataclass
+class QMIXConfig:
+    # defaults follow qmix.py:17-76
+    env_type: str = "matrix"
+    env_name: str = ""
+    env_family: str = "mpe"
+    agent_ids: bool = True
+    num_envs: int = 16
+    buffer_size: int = 5000          # capacity in EPISODES (qmix.py:27)
+    total_timesteps: int = 1_000_000
+    gamma: float = 0.99
+    train_freq: int = 1              # update every N completed episodes
+    optimizer: str = "adam"
+    learning_rate: float = 5e-4
+    batch_size: int = 10             # episodes per update batch
+    start_e: float = 1.0
+    end_e: float = 0.025
+    exploration_fraction: float = 0.05
+    hidden_dim: int = 64
+    hyper_dim: int = 64
+    embed_dim: int = 32
+    num_layers: int = 1
+    target_network_update_freq: int = 1  # polyak every N completed episodes
+    polyak: float = 0.01
+    clip_gradients: float = -1.0
+    log_interval: int = 500
+    eval_steps: int = 5000
+    num_eval_ep: int = 5
+    seed: int = 1
+    verbose: bool = True
+
+
+@chex.dataclass(frozen=True)
+class QMIXRunnerState:
+    params: Any              # {"q": ..., "mixer": ...}
+    target_params: Any
+    opt_state: Any
+    ring: EpisodeBuffer
+    acc: EpisodeAccumulator
+    env_state: Any
+    obs: chex.Array
+    state: chex.Array
+    avail: chex.Array
+    stats: EpisodeStats
+    step: chex.Array         # () int32 vectorized iterations
+    episodes: chex.Array     # () int32 completed episodes (cadence counter)
+    last_loss: chex.Array
+    last_gnorm: chex.Array
+    num_updates: chex.Array
+    key: chex.PRNGKey
+
+
+def make_train(cfg: QMIXConfig, env=None):
+    if env is None:
+        env = registry.make(cfg.env_type, cfg.env_name, agent_ids=cfg.agent_ids)
+    vec = VecEnv(env, cfg.num_envs)
+    opt = make_optimizer(cfg.optimizer, cfg.learning_rate, cfg.clip_gradients)
+    eps_duration = cfg.exploration_fraction * cfg.total_timesteps
+    t_max = env.episode_limit
+
+    def example_record():
+        return {
+            "obs": jnp.zeros((env.n_agents, env.obs_dim)),
+            "state": jnp.zeros((env.state_dim,)),
+            "action": jnp.zeros((env.n_agents,), jnp.int32),
+            "reward": jnp.zeros(()),
+            "done": jnp.zeros((), jnp.bool_),
+            "next_obs": jnp.zeros((env.n_agents, env.obs_dim)),
+            "next_state": jnp.zeros((env.state_dim,)),
+            "next_avail": jnp.zeros((env.n_agents, env.n_actions), jnp.bool_),
+        }
+
+    def init(key: chex.PRNGKey) -> QMIXRunnerState:
+        kq, km, kreset, key = jax.random.split(key, 4)
+        params = {
+            "q": nets.mlp_init(
+                kq, env.obs_dim, cfg.hidden_dim, env.n_actions, cfg.num_layers
+            ),
+            "mixer": nets.mixer_init(
+                km, env.n_agents, env.state_dim, cfg.embed_dim, cfg.hyper_dim
+            ),
+        }
+        env_state, ts = vec.reset(kreset)
+        return QMIXRunnerState(
+            params=params,
+            target_params=jax.tree.map(jnp.copy, params),
+            opt_state=opt.init(params),
+            ring=EpisodeBuffer.create(cfg.buffer_size, t_max, example_record()),
+            acc=EpisodeAccumulator.create(cfg.num_envs, t_max, example_record()),
+            env_state=env_state,
+            obs=ts.obs,
+            state=ts.state,
+            avail=ts.avail,
+            stats=EpisodeStats.create(cfg.num_envs),
+            step=jnp.zeros((), jnp.int32),
+            episodes=jnp.zeros((), jnp.int32),
+            last_loss=jnp.zeros(()),
+            last_gnorm=jnp.zeros(()),
+            num_updates=jnp.zeros(()),
+            key=key,
+        )
+
+    def update(params, target_params, opt_state, ring, key):
+        batch, mask = ring.sample(key, cfg.batch_size)
+        q_next = nets.masked_q(
+            nets.mlp_apply(target_params["q"], batch["next_obs"]),
+            batch["next_avail"],
+        )
+        q_next_max = q_next.max(axis=-1)                          # (B,T,n)
+        qtot_next = nets.mixer_apply(
+            target_params["mixer"], q_next_max, batch["next_state"]
+        )                                                         # (B,T)
+        done = batch["done"].astype(jnp.float32)
+        target = batch["reward"] + cfg.gamma * (1.0 - done) * qtot_next
+
+        def loss_fn(p):
+            q = nets.mlp_apply(p["q"], batch["obs"])
+            q_taken = jnp.take_along_axis(
+                q, batch["action"][..., None], axis=-1
+            )[..., 0]
+            qtot = nets.mixer_apply(p["mixer"], q_taken, batch["state"])
+            err = jnp.square(target - qtot) * mask
+            return jnp.sum(err) / jnp.maximum(jnp.sum(mask), 1.0)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        gnorm = nets.global_norm(grads)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, gnorm
+
+    def train_iter(runner: QMIXRunnerState, _):
+        key, k_act, k_step, k_sample = jax.random.split(runner.key, 4)
+        env_steps = runner.step * cfg.num_envs
+        epsilon = linear_schedule(cfg.start_e, cfg.end_e, eps_duration, env_steps)
+        q = nets.mlp_apply(runner.params["q"], runner.obs)
+        actions = eps_greedy(k_act, q, runner.avail, epsilon)
+        env_state, ts2, final = vec.step(runner.env_state, actions, k_step)
+        ended = jnp.logical_or(ts2.done, ts2.truncated)
+        record = {
+            "obs": runner.obs,
+            "state": runner.state,
+            "action": actions,
+            "reward": ts2.reward,
+            "done": ts2.done,
+            "next_obs": final.obs,
+            "next_state": final.state,
+            "next_avail": final.avail.astype(jnp.bool_),
+        }
+        acc, ring = runner.acc.add_step(runner.ring, record, ended)
+        stats = runner.stats.step(
+            ts2.reward, ended, ts2.info.get("battle_won", jnp.zeros_like(ts2.reward))
+        )
+        step = runner.step + 1
+        episodes = runner.episodes + jnp.sum(ended.astype(jnp.int32))
+
+        # cadence: fire when the completed-episode counter crosses a
+        # multiple of train_freq (≥1 episode may finish per iteration)
+        crossed = (episodes // cfg.train_freq) > (runner.episodes // cfg.train_freq)
+        warm = ring.size >= cfg.batch_size
+        do_update = jnp.logical_and(crossed, warm)
+        params, opt_state, loss, gnorm = jax.lax.cond(
+            do_update,
+            lambda: update(
+                runner.params, runner.target_params, runner.opt_state, ring, k_sample
+            ),
+            lambda: (
+                runner.params,
+                runner.opt_state,
+                runner.last_loss,
+                runner.last_gnorm,
+            ),
+        )
+        crossed_t = (episodes // cfg.target_network_update_freq) > (
+            runner.episodes // cfg.target_network_update_freq
+        )
+        do_polyak = jnp.logical_and(crossed_t, warm)
+        target_params = jax.lax.cond(
+            do_polyak,
+            lambda: nets.soft_update(runner.target_params, params, cfg.polyak),
+            lambda: runner.target_params,
+        )
+        runner = runner.replace(
+            params=params,
+            target_params=target_params,
+            opt_state=opt_state,
+            ring=ring,
+            acc=acc,
+            env_state=env_state,
+            obs=ts2.obs,
+            state=ts2.state,
+            avail=ts2.avail,
+            stats=stats,
+            step=step,
+            episodes=episodes,
+            last_loss=loss,
+            last_gnorm=gnorm,
+            num_updates=runner.num_updates + do_update.astype(jnp.float32),
+            key=key,
+        )
+        return runner, epsilon
+
+    @jax.jit
+    def train_block(runner: QMIXRunnerState):
+        runner, epsilons = jax.lax.scan(
+            train_iter, runner, None, length=cfg.log_interval
+        )
+        metrics = {
+            **runner.stats.rollout_metrics(),
+            "rollout/epsilon": epsilons[-1],
+            "train/loss": runner.last_loss,
+            "train/grads": runner.last_gnorm,
+            "train/num_updates": runner.num_updates,
+        }
+        return runner.replace(stats=runner.stats.flush()), metrics
+
+    def greedy_policy(params, carry, obs, avail, key):
+        return carry, masked_argmax(nets.mlp_apply(params["q"], obs), avail)
+
+    eval_fn = jax.jit(make_evaluator(env, cfg.num_eval_ep, greedy_policy))
+    return init, train_block, eval_fn
+
+
+def train(cfg: QMIXConfig, env=None, logger: Logger | None = None):
+    init, train_block, eval_fn = make_train(cfg, env)
+    own_logger = logger is None
+    if own_logger:
+        logger = Logger("QMIX", cfg)
+    key = jax.random.PRNGKey(cfg.seed)
+    init_key, eval_key = jax.random.split(key)
+    runner = init(init_key)
+    num_blocks = max(1, cfg.total_timesteps // (cfg.num_envs * cfg.log_interval))
+    eval_every = max(1, cfg.eval_steps // (cfg.num_envs * cfg.log_interval))
+    eval_metrics = {}
+    t0 = time.time()
+    for block in range(num_blocks):
+        runner, metrics = train_block(runner)
+        env_steps = int(runner.step) * cfg.num_envs
+        metrics = {k: float(v) for k, v in metrics.items()}
+        metrics["perf/env_steps_per_s"] = env_steps / max(time.time() - t0, 1e-9)
+        logger.log(metrics, env_steps)
+        if cfg.verbose:
+            print(
+                f"[QMIX] step={env_steps} ep_reward={metrics['rollout/ep_reward']:.2f} "
+                f"loss={metrics['train/loss']:.4f} "
+                f"sps={metrics['perf/env_steps_per_s']:,.0f}",
+                flush=True,
+            )
+        if (block + 1) % eval_every == 0:
+            eval_key, k = jax.random.split(eval_key)
+            eval_metrics = {k2: float(v) for k2, v in eval_fn(runner.params, k).items()}
+            logger.log(eval_metrics, env_steps)
+    if own_logger:
+        logger.close()
+    return runner, eval_metrics
+
+
+def main():
+    from cleanmarl_tpu.core.cli import cli
+
+    train(cli(QMIXConfig, description=__doc__))
+
+
+if __name__ == "__main__":
+    main()

@@ -163,13 +163,15 @@ def mixer_init(key, n_agents: int, state_dim: int, embed_dim: int, hyper_dim: in
         "hb1": dense_init(k[1], state_dim, embed_dim, gain=1.0),
         "hw2": mlp_init(k[2], state_dim, hyper_dim, embed_dim, num_layers=0),
         "hb2": mlp_init(k[3], state_dim, hyper_dim, 1, num_layers=0),
-        "dims": (n_agents, embed_dim),
     }
 
 
 def mixer_apply(params, agent_qs: chex.Array, state: chex.Array) -> chex.Array:
-    """agent_qs (..., n_agents), state (..., state_dim) → Q_tot (...)."""
-    n_agents, embed_dim = params["dims"]
+    """agent_qs (..., n_agents), state (..., state_dim) → Q_tot (...).
+
+    Dims are recovered from weight shapes (static at trace time)."""
+    embed_dim = params["hb1"]["b"].shape[0]
+    n_agents = params["hw1"]["head"]["b"].shape[0] // embed_dim
     w1 = jnp.abs(mlp_apply(params["hw1"], state))
     w1 = w1.reshape(state.shape[:-1] + (n_agents, embed_dim))
     b1 = dense(params["hb1"], state)

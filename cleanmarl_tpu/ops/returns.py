@@ -1,0 +1,54 @@
+"""λ-returns / advantages over auto-reset rollout streams.
+
+The reference computes TD(λ) targets with a per-episode reversed Python
+loop over padded episodes (/root/reference/cleanmarl/ippo.py:394-411;
+jitted per-episode scan with *static* episode lengths — a recompile per
+length tuple — in mappo_jax_multienvs.py:336-417). Here the recursion is
+a single ``lax.scan`` over the time axis of the whole (T, B, ...) block
+with episode boundaries handled by the ``ended`` flags, so one compiled
+program covers every episode-length pattern:
+
+    G_t = r_t + γ(1−ended_t)·(λ·G_{t+1} + (1−λ)·V_{t+1})
+
+with G_T = V_T (bootstrap at a mid-episode rollout cut). For steps where
+the episode truly ended, the reference's ``next_value = 0`` convention
+(ippo.py:399-401 — time-limit truncation is NOT bootstrapped) is
+reproduced by folding truncation into ``ended``.
+"""
+from __future__ import annotations
+
+import chex
+import jax
+import jax.numpy as jnp
+
+
+def lambda_returns(
+    rewards: chex.Array,     # (T, ...) team reward broadcast over trailing dims
+    ended: chex.Array,       # (T, ...) bool — episode boundary after step t
+    values: chex.Array,      # (T, ...) V(o_t)
+    bootstrap_value: chex.Array,  # (...) V(o_T) at the rollout cut
+    gamma: float,
+    lam: float,
+) -> chex.Array:
+    """Returns G (T, ...). Time axis is leading."""
+    ended_f = ended.astype(values.dtype)
+    next_values = jnp.concatenate([values[1:], bootstrap_value[None]], axis=0)
+
+    def body(g_next, inp):
+        r, e, v_next = inp
+        g = r + gamma * (1.0 - e) * (lam * g_next + (1.0 - lam) * v_next)
+        return g, g
+
+    _, gs = jax.lax.scan(
+        body,
+        bootstrap_value,
+        (rewards, ended_f, next_values),
+        reverse=True,
+    )
+    return gs
+
+
+def lambda_advantages(rewards, ended, values, bootstrap_value, gamma, lam):
+    """(G, A) with A_t = G_t − V_t (ippo.py:409-411)."""
+    g = lambda_returns(rewards, ended, values, bootstrap_value, gamma, lam)
+    return g, g - values
