@@ -1,0 +1,357 @@
+"""MADDPG — Multi-Agent DDPG with discrete Gumbel-softmax actions.
+
+TPU-native rebuild of /root/reference/cleanmarl/maddpg.py
+(+ maddpg_multienvs.py, maddpg_jax.py):
+
+- Behaviour actions are hard Gumbel-softmax samples of the avail-masked
+  policy logits (maddpg.py:89-92; the Gumbel-max trick ≡ categorical
+  sampling), stored as one-hot (maddpg.py:295-310).
+- The centralized critic is Q(state ‖ joint one-hot actions) → scalar
+  (the reference materializes n_agents identical copies of this input,
+  maddpg.py:114-135 — collapsed here to a single evaluation).
+- Critic targets: r + γ(1−ended)·Q'(s', â') with â' hard-sampled from
+  the target actor at the next obs (maddpg.py:334-343). The reference
+  never bootstraps an episode's final step (maddpg.py:336-338 with all
+  MPE episodes hitting the padded max length), reproduced by killing
+  the bootstrap on ``ended`` (done OR truncated).
+- Actor loss: −E[Q(s, [â_i, a_{−i}])] with agent i's action re-sampled
+  *soft* from the current policy and the others taken from the buffer —
+  the reference's eye-mask ``grad_processing`` (maddpg.py:120-134,
+  355-367) expressed as a vmap over the substituted agent.
+- Episode replay + per-episode cadence, polyak on actor+critic.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Any
+
+import chex
+import jax
+import jax.numpy as jnp
+import optax
+
+from cleanmarl_tpu.buffers.episode import EpisodeAccumulator, EpisodeBuffer
+from cleanmarl_tpu.core import networks as nets
+from cleanmarl_tpu.core.acting import masked_argmax
+from cleanmarl_tpu.core.evaluation import make_evaluator
+from cleanmarl_tpu.core.logger import Logger
+from cleanmarl_tpu.core.metrics import EpisodeStats
+from cleanmarl_tpu.core.optim import make_optimizer
+from cleanmarl_tpu.envs import registry
+from cleanmarl_tpu.envs.base import VecEnv
+
+
+@dataclass
+class MADDPGConfig:
+    # defaults follow maddpg.py:17-76
+    env_type: str = "matrix"
+    env_name: str = ""
+    env_family: str = "mpe"
+    agent_ids: bool = True
+    num_envs: int = 16
+    buffer_size: int = 5000          # episodes
+    total_timesteps: int = 1_000_000
+    gamma: float = 0.99
+    train_freq: int = 1              # updates every N completed episodes
+    optimizer: str = "adam"
+    learning_rate_actor: float = 3e-4
+    learning_rate_critic: float = 3e-4
+    batch_size: int = 10             # episodes per update
+    actor_hidden_dim: int = 32
+    actor_num_layers: int = 1
+    critic_hidden_dim: int = 128
+    critic_num_layers: int = 1
+    gumbel_tau: float = 1.0
+    target_network_update_freq: int = 1
+    polyak: float = 0.005
+    clip_gradients: float = -1.0
+    log_interval: int = 500
+    eval_steps: int = 5000
+    num_eval_ep: int = 10
+    seed: int = 1
+    verbose: bool = True
+
+
+def gumbel_softmax(key, logits, tau: float = 1.0, hard: bool = True):
+    """Straight-through Gumbel-softmax (maddpg_jax.py:76-98 semantics)."""
+    g = jax.random.gumbel(key, logits.shape)
+    y = jax.nn.softmax((logits + g) / tau, axis=-1)
+    if hard:
+        one_hot = jax.nn.one_hot(jnp.argmax(y, axis=-1), logits.shape[-1])
+        y = jax.lax.stop_gradient(one_hot - y) + y  # straight-through
+    return y
+
+
+@chex.dataclass(frozen=True)
+class MADDPGRunnerState:
+    actor_params: Any
+    critic_params: Any
+    target_actor: Any
+    target_critic: Any
+    actor_opt: Any
+    critic_opt: Any
+    ring: EpisodeBuffer
+    acc: EpisodeAccumulator
+    env_state: Any
+    obs: chex.Array
+    state: chex.Array
+    avail: chex.Array
+    stats: EpisodeStats
+    step: chex.Array
+    episodes: chex.Array
+    last_actor_loss: chex.Array
+    last_critic_loss: chex.Array
+    last_actor_gnorm: chex.Array
+    last_critic_gnorm: chex.Array
+    num_updates: chex.Array
+    key: chex.PRNGKey
+
+
+def make_train(cfg: MADDPGConfig, env=None):
+    if env is None:
+        env = registry.make(cfg.env_type, cfg.env_name, agent_ids=cfg.agent_ids)
+    vec = VecEnv(env, cfg.num_envs)
+    actor_opt = make_optimizer(cfg.optimizer, cfg.learning_rate_actor, cfg.clip_gradients)
+    critic_opt = make_optimizer(cfg.optimizer, cfg.learning_rate_critic, cfg.clip_gradients)
+    t_max = env.episode_limit
+    joint_dim = env.n_agents * env.n_actions
+    critic_in = env.state_dim + joint_dim
+
+    def actor_logits(params, obs, avail):
+        return nets.masked_q(nets.mlp_apply(params, obs), avail)
+
+    def critic_q(params, state, joint_onehot):
+        """state (..., S), joint_onehot (..., n, A) → Q (...)."""
+        flat = joint_onehot.reshape(joint_onehot.shape[:-2] + (joint_dim,))
+        x = jnp.concatenate([state, flat], axis=-1)
+        return nets.mlp_apply(params, x)[..., 0]
+
+    def example_record():
+        return {
+            "obs": jnp.zeros((env.n_agents, env.obs_dim)),
+            "state": jnp.zeros((env.state_dim,)),
+            "avail": jnp.zeros((env.n_agents, env.n_actions), jnp.bool_),
+            "action": jnp.zeros((env.n_agents, env.n_actions)),  # one-hot
+            "reward": jnp.zeros(()),
+            "ended": jnp.zeros((), jnp.bool_),
+            "next_obs": jnp.zeros((env.n_agents, env.obs_dim)),
+            "next_state": jnp.zeros((env.state_dim,)),
+            "next_avail": jnp.zeros((env.n_agents, env.n_actions), jnp.bool_),
+        }
+
+    def init(key: chex.PRNGKey) -> MADDPGRunnerState:
+        ka, kc, kreset, key = jax.random.split(key, 4)
+        actor_params = nets.mlp_init(
+            ka, env.obs_dim, cfg.actor_hidden_dim, env.n_actions,
+            cfg.actor_num_layers, final_gain=0.01,
+        )
+        critic_params = nets.mlp_init(
+            kc, critic_in, cfg.critic_hidden_dim, 1, cfg.critic_num_layers
+        )
+        env_state, ts = vec.reset(kreset)
+        z = jnp.zeros(())
+        return MADDPGRunnerState(
+            actor_params=actor_params,
+            critic_params=critic_params,
+            target_actor=jax.tree.map(jnp.copy, actor_params),
+            target_critic=jax.tree.map(jnp.copy, critic_params),
+            actor_opt=actor_opt.init(actor_params),
+            critic_opt=critic_opt.init(critic_params),
+            ring=EpisodeBuffer.create(cfg.buffer_size, t_max, example_record()),
+            acc=EpisodeAccumulator.create(cfg.num_envs, t_max, example_record()),
+            env_state=env_state,
+            obs=ts.obs, state=ts.state, avail=ts.avail,
+            stats=EpisodeStats.create(cfg.num_envs),
+            step=jnp.zeros((), jnp.int32),
+            episodes=jnp.zeros((), jnp.int32),
+            last_actor_loss=z, last_critic_loss=z,
+            last_actor_gnorm=z, last_critic_gnorm=z,
+            num_updates=z,
+            key=key,
+        )
+
+    def update(runner, ring, key):
+        k_sample, k_tgt, k_fresh = jax.random.split(key, 3)
+        batch, mask = ring.sample(k_sample, cfg.batch_size)  # leaves (B,T,...)
+
+        # ---- critic ---------------------------------------------------
+        next_logits = actor_logits(
+            runner.target_actor, batch["next_obs"], batch["next_avail"]
+        )
+        a_next = gumbel_softmax(k_tgt, next_logits, cfg.gumbel_tau, hard=True)
+        q_next = critic_q(runner.target_critic, batch["next_state"], a_next)
+        ended = batch["ended"].astype(jnp.float32)
+        target = batch["reward"] + cfg.gamma * (1.0 - ended) * q_next
+        msum = jnp.maximum(jnp.sum(mask), 1.0)
+
+        def critic_loss_fn(p):
+            q = critic_q(p, batch["state"], batch["action"])
+            return jnp.sum(jnp.square(target - q) * mask) / msum
+
+        c_loss, c_grads = jax.value_and_grad(critic_loss_fn)(runner.critic_params)
+        c_gnorm = nets.global_norm(c_grads)
+        c_updates, c_opt = critic_opt.update(
+            c_grads, runner.critic_opt, runner.critic_params
+        )
+        critic_params = optax.apply_updates(runner.critic_params, c_updates)
+
+        # ---- actor ----------------------------------------------------
+        eye = jnp.eye(env.n_agents)[:, :, None]  # (i, n, 1)
+
+        def actor_loss_fn(p):
+            logits = actor_logits(p, batch["obs"], batch["avail"])
+            fresh = gumbel_softmax(k_fresh, logits, cfg.gumbel_tau, hard=False)
+
+            def q_with_agent_i(i_onehot):
+                # joint = fresh for agent i, stored for the others
+                joint = i_onehot * fresh + (1.0 - i_onehot) * batch["action"]
+                return critic_q(critic_params, batch["state"], joint)  # (B,T)
+
+            q_all = jax.vmap(q_with_agent_i)(eye)          # (n, B, T)
+            return -jnp.sum(q_all * mask[None]) / msum
+
+        a_loss, a_grads = jax.value_and_grad(actor_loss_fn)(runner.actor_params)
+        a_gnorm = nets.global_norm(a_grads)
+        a_updates, a_opt = actor_opt.update(
+            a_grads, runner.actor_opt, runner.actor_params
+        )
+        actor_params = optax.apply_updates(runner.actor_params, a_updates)
+        return (
+            actor_params, critic_params, a_opt, c_opt,
+            a_loss, c_loss, a_gnorm, c_gnorm,
+        )
+
+    def train_iter(runner: MADDPGRunnerState, _):
+        key, k_act, k_step, k_upd = jax.random.split(runner.key, 4)
+        logits = actor_logits(runner.actor_params, runner.obs, runner.avail)
+        onehot = gumbel_softmax(k_act, logits, cfg.gumbel_tau, hard=True)
+        actions = jnp.argmax(onehot, axis=-1).astype(jnp.int32)
+        env_state, ts2, final = vec.step(runner.env_state, actions, k_step)
+        ended = jnp.logical_or(ts2.done, ts2.truncated)
+        record = {
+            "obs": runner.obs,
+            "state": runner.state,
+            "avail": runner.avail.astype(jnp.bool_),
+            "action": onehot,
+            "reward": ts2.reward,
+            "ended": ended,
+            "next_obs": final.obs,
+            "next_state": final.state,
+            "next_avail": final.avail.astype(jnp.bool_),
+        }
+        acc, ring = runner.acc.add_step(runner.ring, record, ended)
+        stats = runner.stats.step(
+            ts2.reward, ended, ts2.info.get("battle_won", jnp.zeros_like(ts2.reward))
+        )
+        step = runner.step + 1
+        episodes = runner.episodes + jnp.sum(ended.astype(jnp.int32))
+
+        crossed = (episodes // cfg.train_freq) > (runner.episodes // cfg.train_freq)
+        warm = ring.size >= cfg.batch_size
+        do_update = jnp.logical_and(crossed, warm)
+        (actor_params, critic_params, a_opt, c_opt,
+         a_loss, c_loss, a_gnorm, c_gnorm) = jax.lax.cond(
+            do_update,
+            lambda: update(runner, ring, k_upd),
+            lambda: (
+                runner.actor_params, runner.critic_params,
+                runner.actor_opt, runner.critic_opt,
+                runner.last_actor_loss, runner.last_critic_loss,
+                runner.last_actor_gnorm, runner.last_critic_gnorm,
+            ),
+        )
+        crossed_t = (episodes // cfg.target_network_update_freq) > (
+            runner.episodes // cfg.target_network_update_freq
+        )
+        do_polyak = jnp.logical_and(crossed_t, warm)
+        target_actor, target_critic = jax.lax.cond(
+            do_polyak,
+            lambda: (
+                nets.soft_update(runner.target_actor, actor_params, cfg.polyak),
+                nets.soft_update(runner.target_critic, critic_params, cfg.polyak),
+            ),
+            lambda: (runner.target_actor, runner.target_critic),
+        )
+        runner = runner.replace(
+            actor_params=actor_params, critic_params=critic_params,
+            target_actor=target_actor, target_critic=target_critic,
+            actor_opt=a_opt, critic_opt=c_opt,
+            ring=ring, acc=acc, env_state=env_state,
+            obs=ts2.obs, state=ts2.state, avail=ts2.avail,
+            stats=stats, step=step, episodes=episodes,
+            last_actor_loss=a_loss, last_critic_loss=c_loss,
+            last_actor_gnorm=a_gnorm, last_critic_gnorm=c_gnorm,
+            num_updates=runner.num_updates + do_update.astype(jnp.float32),
+            key=key,
+        )
+        return runner, None
+
+    @jax.jit
+    def train_block(runner: MADDPGRunnerState):
+        runner, _ = jax.lax.scan(train_iter, runner, None, length=cfg.log_interval)
+        metrics = {
+            **runner.stats.rollout_metrics(),
+            "train/actor_loss": runner.last_actor_loss,
+            "train/critic_loss": runner.last_critic_loss,
+            "train/actor_gradients": runner.last_actor_gnorm,
+            "train/critic_gradients": runner.last_critic_gnorm,
+            "train/num_updates": runner.num_updates,
+        }
+        return runner.replace(stats=runner.stats.flush()), metrics
+
+    def greedy_policy(params, carry, obs, avail, key):
+        # eval = argmax of masked logits (maddpg.py:396-400)
+        return carry, masked_argmax(nets.mlp_apply(params, obs), avail)
+
+    eval_fn = jax.jit(make_evaluator(env, cfg.num_eval_ep, greedy_policy))
+    return init, train_block, eval_fn
+
+
+def train(cfg: MADDPGConfig, env=None, logger: Logger | None = None,
+          algo_name: str = "MADDPG"):
+    init, train_block, eval_fn = make_train(cfg, env)
+    own_logger = logger is None
+    if own_logger:
+        logger = Logger(algo_name, cfg)
+    key = jax.random.PRNGKey(cfg.seed)
+    init_key, eval_key = jax.random.split(key)
+    runner = init(init_key)
+    num_blocks = max(1, cfg.total_timesteps // (cfg.num_envs * cfg.log_interval))
+    eval_every = max(1, cfg.eval_steps // (cfg.num_envs * cfg.log_interval))
+    eval_metrics = {}
+    t0 = time.time()
+    for block in range(num_blocks):
+        runner, metrics = train_block(runner)
+        env_steps = int(runner.step) * cfg.num_envs
+        metrics = {k: float(v) for k, v in metrics.items()}
+        metrics["perf/env_steps_per_s"] = env_steps / max(time.time() - t0, 1e-9)
+        logger.log(metrics, env_steps)
+        if cfg.verbose:
+            print(
+                f"[{algo_name}] step={env_steps} "
+                f"ep_reward={metrics['rollout/ep_reward']:.2f} "
+                f"critic_loss={metrics['train/critic_loss']:.4f} "
+                f"sps={metrics['perf/env_steps_per_s']:,.0f}",
+                flush=True,
+            )
+        if (block + 1) % eval_every == 0:
+            eval_key, k = jax.random.split(eval_key)
+            eval_metrics = {
+                k2: float(v)
+                for k2, v in eval_fn(runner.actor_params, k).items()
+            }
+            logger.log(eval_metrics, env_steps)
+    if own_logger:
+        logger.close()
+    return runner, eval_metrics
+
+
+def main():
+    from cleanmarl_tpu.core.cli import cli
+
+    train(cli(MADDPGConfig, description=__doc__))
+
+
+if __name__ == "__main__":
+    main()

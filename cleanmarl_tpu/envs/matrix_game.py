@@ -38,11 +38,16 @@ class MatrixGame(Environment):
         n_actions: int = 3,
         episode_limit: int = 8,
         done_on_jackpot: bool = False,
+        mask_trick: bool = True,
     ):
+        """``mask_trick=False`` keeps every action available — needed by
+        deterministic-policy-gradient learners (MADDPG/FACMAC), for which
+        the parity-dependent mask makes the observation ambiguous."""
         self.n_agents = n_agents
         self.n_actions = n_actions
         self.episode_limit = episode_limit
         self.done_on_jackpot = done_on_jackpot
+        self.mask_trick = mask_trick
         self.obs_dim = n_actions
         self.state_dim = n_actions * n_agents
 
@@ -54,9 +59,11 @@ class MatrixGame(Environment):
         return obs, state
 
     def _avail(self, t):
+        avail = jnp.ones((self.n_agents, self.n_actions), jnp.bool_)
+        if not self.mask_trick:
+            return avail
         g = jnp.mod(t, self.n_actions)
         blocked = jnp.mod(g + 1, self.n_actions)
-        avail = jnp.ones((self.n_agents, self.n_actions), jnp.bool_)
         odd = jnp.mod(t, 2) == 1
         return avail.at[:, blocked].set(jnp.logical_not(odd))
 

@@ -1,0 +1,52 @@
+"""COMA: counterfactual-baseline fixture + learning smoke test."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cleanmarl_tpu.algos.coma import COMAConfig, make_train
+from cleanmarl_tpu.envs.matrix_game import MatrixGame
+
+
+def test_counterfactual_advantage_zero_for_uniform_q():
+    """If Q is constant over actions, A = Q[a] − Σπ(a)Q(a) must be 0 for
+    any policy — the baseline exactly cancels (coma.py:570-583)."""
+    q = jnp.full((4, 2, 3), 5.0)
+    pi = jax.nn.softmax(jax.random.normal(jax.random.PRNGKey(0), (4, 2, 3)))
+    a = jnp.zeros((4, 2), jnp.int32)
+    baseline = jnp.sum(pi * q, axis=-1)
+    q_taken = jnp.take_along_axis(q, a[..., None], axis=-1)[..., 0]
+    np.testing.assert_allclose(np.asarray(q_taken - baseline), 0.0, atol=1e-6)
+
+
+def test_coma_learns_matrix_game():
+    cfg = COMAConfig(
+        env_type="matrix",
+        num_envs=16,
+        total_timesteps=80_000,
+        learning_rate_actor=2e-3,
+        learning_rate_critic=3e-3,
+        entropy_coef=0.003,
+        td_lambda=0.8,
+        exploration_fraction=100.0,
+        polyak=0.05,
+        log_interval=4,
+        num_eval_ep=8,
+        seed=0,
+    )
+    env = MatrixGame(n_agents=2, n_actions=3, episode_limit=8)
+    init, train_block, eval_fn, meta = make_train(cfg, env)
+    runner = init(jax.random.PRNGKey(0))
+    for _ in range(cfg.total_timesteps // meta["steps_per_block"]):
+        runner, metrics = train_block(runner)
+    out = eval_fn(runner.actor_params, jax.random.PRNGKey(1))
+    assert float(out["eval/ep_reward"]) > 6.8, dict(out)
+
+
+def test_coma_one_step_targets_when_tdlambda_off():
+    env = MatrixGame(n_agents=2, n_actions=3, episode_limit=8)
+    cfg = COMAConfig(env_type="matrix", num_envs=8, total_timesteps=1024,
+                     use_tdlambda=False, log_interval=2, seed=0)
+    init, train_block, eval_fn, meta = make_train(cfg, env)
+    runner = init(jax.random.PRNGKey(0))
+    runner, metrics = train_block(runner)
+    assert np.isfinite(float(metrics["train/critic_loss"]))
