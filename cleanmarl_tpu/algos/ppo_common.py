@@ -1,9 +1,12 @@
-"""Shared IPPO/MAPPO machinery (clipped PPO + TD(λ) on rollout streams).
+"""Shared IPPO/MAPPO machinery (clipped PPO + TD(λ) on rollout streams),
+feed-forward and recurrent.
 
 TPU-native rebuild of /root/reference/cleanmarl/ippo.py and mappo.py
 (which are byte-for-byte identical except for the critic input —
 obs for IPPO ippo.py:259, global state for MAPPO mappo.py:258 with the
-value broadcast to agents mappo.py:462; SURVEY.md §2.4):
+value broadcast to agents mappo.py:462; SURVEY.md §2.4), plus their
+``_lstm`` variants (GRU actor + feed-forward critic,
+ippo_lstm.py:161-183, mappo_lstm_multienvs.py — the north-star config):
 
 - The reference collects exactly ``batch_size`` complete episodes via
   Python env loops / Pipe workers and pads them. Here a fixed-length
@@ -21,6 +24,14 @@ value broadcast to agents mappo.py:462; SURVEY.md §2.4):
 - Truncation is NOT bootstrapped (next_value = 0 at the terminal step
   of every episode, ippo.py:399-401) — reproduced by folding
   ``truncated`` into the ``ended`` flags.
+- ``recurrent=True`` swaps the actor for the fc1→GRU→head core
+  (vdn_lstm.py:83-99 architecture); the hidden state is carried across
+  rollout blocks, zeroed at episode boundaries, and the update re-runs
+  the GRU over the whole rollout in a scan (full BPTT). ``tbptt=k``
+  stops gradients through the carry every k steps — the scan-native
+  form of the reference's chunked TBPTT with inner optimizer steps
+  (mappo_lstm_multienvs.py:562-620); the per-chunk optimizer steps are
+  intentionally collapsed into one (a modernization, not a port).
 """
 from __future__ import annotations
 
@@ -52,6 +63,8 @@ class PPOConfig:
     agent_ids: bool = True
     num_envs: int = 16              # parallel on-device envs
     rollout_len: int = 0            # 0 → env.episode_limit
+    recurrent: bool = False         # GRU actor (the _lstm variants)
+    tbptt: int = 0                  # 0 → full BPTT through the rollout
     actor_hidden_dim: int = 32
     actor_num_layers: int = 1
     critic_hidden_dim: int = 32
@@ -84,6 +97,7 @@ class PPORunnerState:
     obs: chex.Array
     state: chex.Array
     avail: chex.Array
+    actor_h: chex.Array   # (num_envs, n_agents, H); zeros when FF
     stats: EpisodeStats
     step: chex.Array      # () int32 — env transitions so far
     num_updates: chex.Array
@@ -103,6 +117,41 @@ def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
     actor_opt = make_optimizer(cfg.optimizer, cfg.learning_rate_actor, cfg.clip_gradients)
     critic_opt = make_optimizer(cfg.optimizer, cfg.learning_rate_critic, cfg.clip_gradients)
     critic_in = env.state_dim if centralized else env.obs_dim
+    H = cfg.actor_hidden_dim
+
+    def actor_step(actor_params, h, obs, avail):
+        """One actor forward. → (h', masked logits)."""
+        if cfg.recurrent:
+            h2, logits = nets.rnn_apply(actor_params, h, obs)
+            return h2, nets.masked_q(logits, avail)
+        return h, masked_logits(actor_params, obs, avail)
+
+    def actor_logits_seq(actor_params, h0, obs_seq, avail_seq, ended_seq):
+        """Recompute logits over a (T, B, n, ·) stream, resetting the
+        GRU carry at episode boundaries; tbptt>0 cuts gradients through
+        the carry every tbptt steps."""
+        if not cfg.recurrent:
+            return masked_logits(actor_params, obs_seq, avail_seq)
+
+        def body(carry, inp):
+            h, t = carry
+            obs, avail, ended = inp
+            if cfg.tbptt:
+                h = jax.lax.cond(
+                    jnp.mod(t, cfg.tbptt) == 0,
+                    jax.lax.stop_gradient,
+                    lambda x: x,
+                    h,
+                )
+            h2, logits = actor_step(actor_params, h, obs, avail)
+            h2 = jnp.where(ended[:, None, None], 0.0, h2)
+            return (h2, t + 1), logits
+
+        (_, _), logits = jax.lax.scan(
+            body, (h0, jnp.zeros((), jnp.int32)),
+            (obs_seq, avail_seq, ended_seq),
+        )
+        return logits
 
     def critic_values(critic_params, batch_obs, batch_state):
         """→ values broadcast per agent (..., n_agents)."""
@@ -115,10 +164,15 @@ def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
 
     def init(key: chex.PRNGKey) -> PPORunnerState:
         ka, kc, kreset, key = jax.random.split(key, 4)
-        actor_params = nets.mlp_init(
-            ka, env.obs_dim, cfg.actor_hidden_dim, env.n_actions,
-            cfg.actor_num_layers, final_gain=0.01,
-        )
+        if cfg.recurrent:
+            actor_params = nets.rnn_init(
+                ka, env.obs_dim, H, env.n_actions, final_gain=0.01
+            )
+        else:
+            actor_params = nets.mlp_init(
+                ka, env.obs_dim, H, env.n_actions,
+                cfg.actor_num_layers, final_gain=0.01,
+            )
         critic_params = nets.mlp_init(
             kc, critic_in, cfg.critic_hidden_dim, 1, cfg.critic_num_layers
         )
@@ -132,6 +186,7 @@ def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
             obs=ts.obs,
             state=ts.state,
             avail=ts.avail,
+            actor_h=jnp.zeros((cfg.num_envs, env.n_agents, H)),
             stats=EpisodeStats.create(cfg.num_envs),
             step=jnp.zeros((), jnp.int32),
             num_updates=jnp.zeros(()),
@@ -141,9 +196,9 @@ def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
     # ------------------------------------------------------------------
     def collect_rollout(runner: PPORunnerState):
         def step_fn(carry, _):
-            env_state, obs, state, avail, stats, key = carry
+            env_state, obs, state, avail, h, stats, key = carry
             key, k_act, k_step = jax.random.split(key, 3)
-            logits = masked_logits(runner.actor_params, obs, avail)
+            h2, logits = actor_step(runner.actor_params, h, obs, avail)
             keys = jax.random.split(k_act, cfg.num_envs * env.n_agents).reshape(
                 cfg.num_envs, env.n_agents, 2
             )
@@ -154,6 +209,7 @@ def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
             )[..., 0]
             env_state, ts2, final = vec.step(env_state, actions, k_step)
             ended = jnp.logical_or(ts2.done, ts2.truncated)
+            h2 = jnp.where(ended[:, None, None], 0.0, h2)
             stats = stats.step(
                 ts2.reward, ended,
                 ts2.info.get("battle_won", jnp.zeros_like(ts2.reward)),
@@ -163,24 +219,25 @@ def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
                 "action": actions, "logp": logp,
                 "reward": ts2.reward, "ended": ended,
             }
-            return (env_state, ts2.obs, ts2.state, ts2.avail, stats, key), out
+            return (env_state, ts2.obs, ts2.state, ts2.avail, h2, stats, key), out
 
         key, scan_key = jax.random.split(runner.key)
+        h0 = runner.actor_h
         carry0 = (
             runner.env_state, runner.obs, runner.state, runner.avail,
-            runner.stats, scan_key,
+            h0, runner.stats, scan_key,
         )
         carry, traj = jax.lax.scan(step_fn, carry0, None, length=rollout_len)
-        env_state, obs, state, avail, stats, _ = carry
+        env_state, obs, state, avail, h, stats, _ = carry
         runner = runner.replace(
             env_state=env_state, obs=obs, state=state, avail=avail,
-            stats=stats, key=key,
+            actor_h=h, stats=stats, key=key,
             step=runner.step + rollout_len * cfg.num_envs,
         )
-        return runner, traj
+        return runner, traj, h0
 
     # ------------------------------------------------------------------
-    def ppo_update(runner: PPORunnerState, traj):
+    def ppo_update(runner: PPORunnerState, traj, h0):
         # advantages with the pre-update critic (ippo.py:394-411)
         values = critic_values(runner.critic_params, traj["obs"], traj["state"])
         vboot = critic_values(
@@ -199,7 +256,9 @@ def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
             adv = (adv - adv.mean()) / (adv.std() + 1e-8)
 
         def actor_loss_fn(actor_params):
-            logits = masked_logits(actor_params, traj["obs"], traj["avail"])
+            logits = actor_logits_seq(
+                actor_params, h0, traj["obs"], traj["avail"], traj["ended"]
+            )
             logp_all = jax.nn.log_softmax(logits, axis=-1)
             logp = jnp.take_along_axis(
                 logp_all, traj["action"][..., None], axis=-1
@@ -260,8 +319,8 @@ def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
 
     # ------------------------------------------------------------------
     def rollout_and_update(runner, _):
-        runner, traj = collect_rollout(runner)
-        runner, metrics = ppo_update(runner, traj)
+        runner, traj, h0 = collect_rollout(runner)
+        runner, metrics = ppo_update(runner, traj, h0)
         return runner, metrics
 
     @jax.jit
@@ -277,7 +336,7 @@ def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
         return runner.replace(stats=runner.stats.flush()), metrics
 
     def sampled_policy(params, carry, obs, avail, key):
-        logits = masked_logits(params, obs, avail)
+        carry, logits = actor_step(params, carry, obs, avail)
         n_env = obs.shape[0]
         keys = jax.random.split(key, n_env * env.n_agents).reshape(
             n_env, env.n_agents, 2
@@ -285,7 +344,12 @@ def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
         actions = jax.vmap(jax.vmap(jax.random.categorical))(keys, logits)
         return carry, actions.astype(jnp.int32)
 
-    eval_fn = jax.jit(make_evaluator(env, cfg.num_eval_ep, sampled_policy))
+    eval_fn = jax.jit(
+        make_evaluator(
+            env, cfg.num_eval_ep, sampled_policy,
+            init_carry=lambda m: jnp.zeros((m, env.n_agents, H)),
+        )
+    )
     meta = {
         "rollout_len": rollout_len,
         "steps_per_block": rollout_len * cfg.num_envs * cfg.log_interval,

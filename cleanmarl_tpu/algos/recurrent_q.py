@@ -1,0 +1,345 @@
+"""Recurrent value decomposition: GRU Q-nets for VDN and QMIX.
+
+TPU-native rebuild of /root/reference/cleanmarl/vdn_lstm.py,
+vdn_lstm_jax.py, qmix_lstm.py and qmix_lstm_jax.py. The reference's
+"lstm" files actually use a GRU cell (vdn_lstm.py:88); the net is
+fc1→GRU→head (vdn_lstm.py:83-99).
+
+Design differences from the reference, all strictly-simplifying:
+
+- **Full-episode replay instead of sequence chunks.** vdn_lstm trains
+  on fixed 10-step chunks with an 8-step gradient-free burn-in to
+  re-warm the hidden state (vdn_lstm.py:102-183, 394-403) because
+  chunks start mid-episode. Episodes here are stored whole (padded to
+  ``episode_limit`` with masks), so every hidden state is recomputed
+  exactly from t=0 — no burn-in approximation is needed. The scanned
+  loss is the dense form of vdn_lstm_jax.py:270-325.
+- **TBPTT as a gradient cut, not chunked optimizer steps.**
+  qmix_lstm.py:350-363 backprops+steps every ``tbptt=10`` steps,
+  detaching h. ``tbptt=k`` here stops gradients through the carry
+  every k steps inside one scan (the stop_gradient carry pattern the
+  reference's own JAX port uses, qmix_lstm_jax.py:296-366) with a
+  single optimizer step per update.
+- Target-network hidden streams are advanced over the observation
+  sequence and evaluated one GRU step ahead on the stored next-obs
+  (equivalent to the reference's carried (h_target, h_utility) pair,
+  vdn_lstm_jax.py:286-325, and exact at terminal steps).
+
+``mixing="vdn"`` sums the per-agent Qs (vdn_lstm); ``mixing="qmix"``
+mixes them with the monotonic hypernetwork on the global state
+(qmix_lstm). CLI wrappers: ``algos/vdn_rnn.py`` / ``algos/qmix_rnn.py``.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Any
+
+import chex
+import jax
+import jax.numpy as jnp
+import optax
+
+from cleanmarl_tpu.buffers.episode import EpisodeAccumulator, EpisodeBuffer
+from cleanmarl_tpu.core import networks as nets
+from cleanmarl_tpu.core.acting import eps_greedy, masked_argmax
+from cleanmarl_tpu.core.evaluation import make_evaluator
+from cleanmarl_tpu.core.logger import Logger
+from cleanmarl_tpu.core.metrics import EpisodeStats
+from cleanmarl_tpu.core.optim import make_optimizer
+from cleanmarl_tpu.core.schedules import linear_schedule
+from cleanmarl_tpu.envs import registry
+from cleanmarl_tpu.envs.base import VecEnv
+
+
+@dataclass
+class RecurrentQConfig:
+    env_type: str = "matrix"
+    env_name: str = ""
+    env_family: str = "mpe"
+    agent_ids: bool = True
+    mixing: str = "vdn"              # "vdn" | "qmix"
+    num_envs: int = 16
+    buffer_size: int = 2000          # episodes
+    total_timesteps: int = 1_000_000
+    gamma: float = 0.99
+    train_freq: int = 1              # updates every N completed episodes
+    optimizer: str = "adam"
+    learning_rate: float = 5e-4
+    batch_size: int = 10             # episodes per update
+    start_e: float = 1.0
+    end_e: float = 0.05
+    exploration_fraction: float = 0.05
+    hidden_dim: int = 64
+    hyper_dim: int = 64
+    embed_dim: int = 32
+    tbptt: int = 0                   # 0 → full BPTT over the episode
+    target_network_update_freq: int = 1
+    polyak: float = 0.01
+    clip_gradients: float = -1.0
+    log_interval: int = 500
+    eval_steps: int = 5000
+    num_eval_ep: int = 5
+    seed: int = 1
+    verbose: bool = True
+
+
+@chex.dataclass(frozen=True)
+class RecQRunnerState:
+    params: Any                  # {"q": rnn, ["mixer": hypernet]}
+    target_params: Any
+    opt_state: Any
+    ring: EpisodeBuffer
+    acc: EpisodeAccumulator
+    env_state: Any
+    obs: chex.Array
+    state: chex.Array
+    avail: chex.Array
+    h: chex.Array                # (num_envs, n_agents, H)
+    stats: EpisodeStats
+    step: chex.Array
+    episodes: chex.Array
+    last_loss: chex.Array
+    last_gnorm: chex.Array
+    num_updates: chex.Array
+    key: chex.PRNGKey
+
+
+def make_train(cfg: RecurrentQConfig, env=None):
+    assert cfg.mixing in ("vdn", "qmix"), cfg.mixing
+    if env is None:
+        env = registry.make(cfg.env_type, cfg.env_name, agent_ids=cfg.agent_ids)
+    vec = VecEnv(env, cfg.num_envs)
+    opt = make_optimizer(cfg.optimizer, cfg.learning_rate, cfg.clip_gradients)
+    eps_duration = cfg.exploration_fraction * cfg.total_timesteps
+    t_max = env.episode_limit
+    H = cfg.hidden_dim
+    use_mixer = cfg.mixing == "qmix"
+
+    def mix(params, agent_qs, state):
+        """Team value from per-agent values."""
+        if use_mixer:
+            return nets.mixer_apply(params["mixer"], agent_qs, state)
+        return agent_qs.sum(axis=-1)
+
+    def example_record():
+        return {
+            "obs": jnp.zeros((env.n_agents, env.obs_dim)),
+            "state": jnp.zeros((env.state_dim,)),
+            "action": jnp.zeros((env.n_agents,), jnp.int32),
+            "reward": jnp.zeros(()),
+            "done": jnp.zeros((), jnp.bool_),
+            "next_obs": jnp.zeros((env.n_agents, env.obs_dim)),
+            "next_state": jnp.zeros((env.state_dim,)),
+            "next_avail": jnp.zeros((env.n_agents, env.n_actions), jnp.bool_),
+        }
+
+    def init(key: chex.PRNGKey) -> RecQRunnerState:
+        kq, km, kreset, key = jax.random.split(key, 4)
+        params = {"q": nets.rnn_init(kq, env.obs_dim, H, env.n_actions)}
+        if use_mixer:
+            params["mixer"] = nets.mixer_init(
+                km, env.n_agents, env.state_dim, cfg.embed_dim, cfg.hyper_dim
+            )
+        env_state, ts = vec.reset(kreset)
+        return RecQRunnerState(
+            params=params,
+            target_params=jax.tree.map(jnp.copy, params),
+            opt_state=opt.init(params),
+            ring=EpisodeBuffer.create(cfg.buffer_size, t_max, example_record()),
+            acc=EpisodeAccumulator.create(cfg.num_envs, t_max, example_record()),
+            env_state=env_state,
+            obs=ts.obs, state=ts.state, avail=ts.avail,
+            h=jnp.zeros((cfg.num_envs, env.n_agents, H)),
+            stats=EpisodeStats.create(cfg.num_envs),
+            step=jnp.zeros((), jnp.int32),
+            episodes=jnp.zeros((), jnp.int32),
+            last_loss=jnp.zeros(()),
+            last_gnorm=jnp.zeros(()),
+            num_updates=jnp.zeros(()),
+            key=key,
+        )
+
+    def update(params, target_params, opt_state, ring, key):
+        batch, mask = ring.sample(key, cfg.batch_size)
+        # time-major streams (T, B, ...)
+        tm = jax.tree.map(lambda x: jnp.moveaxis(x, 0, 1), batch)
+        mask_tm = jnp.moveaxis(mask, 0, 1)                      # (T, B)
+        B = cfg.batch_size
+        h0 = jnp.zeros((B, env.n_agents, H))
+
+        # ---- target stream (no grad): advance on obs, evaluate next_obs
+        def tgt_body(h, inp):
+            obs, next_obs, next_avail = inp
+            h2, _ = nets.rnn_apply(target_params["q"], h, obs)
+            _, q_next = nets.rnn_apply(target_params["q"], h2, next_obs)
+            q_next = nets.masked_q(q_next, next_avail)
+            return h2, q_next.max(axis=-1)                      # (B, n)
+
+        _, q_next_max = jax.lax.scan(
+            tgt_body, h0, (tm["obs"], tm["next_obs"], tm["next_avail"])
+        )                                                       # (T, B, n)
+        team_next = mix(target_params, q_next_max, tm["next_state"])
+        done = tm["done"].astype(jnp.float32)
+        target = tm["reward"] + cfg.gamma * (1.0 - done) * team_next
+        target = jax.lax.stop_gradient(target)
+
+        # ---- online stream --------------------------------------------
+        def loss_fn(p):
+            def body(carry, inp):
+                h, t = carry
+                obs, action = inp
+                if cfg.tbptt:
+                    h = jax.lax.cond(
+                        jnp.mod(t, cfg.tbptt) == 0,
+                        jax.lax.stop_gradient,
+                        lambda x: x,
+                        h,
+                    )
+                h2, q = nets.rnn_apply(p["q"], h, obs)
+                q_taken = jnp.take_along_axis(q, action[..., None], axis=-1)[..., 0]
+                return (h2, t + 1), q_taken
+
+            (_, _), q_taken = jax.lax.scan(
+                body, (h0, jnp.zeros((), jnp.int32)), (tm["obs"], tm["action"])
+            )                                                   # (T, B, n)
+            team = mix(p, q_taken, tm["state"])                 # (T, B)
+            err = jnp.square(target - team) * mask_tm
+            return jnp.sum(err) / jnp.maximum(jnp.sum(mask_tm), 1.0)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        gnorm = nets.global_norm(grads)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, gnorm
+
+    def train_iter(runner: RecQRunnerState, _):
+        key, k_act, k_step, k_sample = jax.random.split(runner.key, 4)
+        env_steps = runner.step * cfg.num_envs
+        epsilon = linear_schedule(cfg.start_e, cfg.end_e, eps_duration, env_steps)
+        h2, q = nets.rnn_apply(runner.params["q"], runner.h, runner.obs)
+        actions = eps_greedy(k_act, q, runner.avail, epsilon)
+        env_state, ts2, final = vec.step(runner.env_state, actions, k_step)
+        ended = jnp.logical_or(ts2.done, ts2.truncated)
+        h2 = jnp.where(ended[:, None, None], 0.0, h2)
+        record = {
+            "obs": runner.obs,
+            "state": runner.state,
+            "action": actions,
+            "reward": ts2.reward,
+            "done": ts2.done,
+            "next_obs": final.obs,
+            "next_state": final.state,
+            "next_avail": final.avail.astype(jnp.bool_),
+        }
+        acc, ring = runner.acc.add_step(runner.ring, record, ended)
+        stats = runner.stats.step(
+            ts2.reward, ended, ts2.info.get("battle_won", jnp.zeros_like(ts2.reward))
+        )
+        step = runner.step + 1
+        episodes = runner.episodes + jnp.sum(ended.astype(jnp.int32))
+
+        crossed = (episodes // cfg.train_freq) > (runner.episodes // cfg.train_freq)
+        warm = ring.size >= cfg.batch_size
+        do_update = jnp.logical_and(crossed, warm)
+        params, opt_state, loss, gnorm = jax.lax.cond(
+            do_update,
+            lambda: update(
+                runner.params, runner.target_params, runner.opt_state, ring, k_sample
+            ),
+            lambda: (
+                runner.params, runner.opt_state,
+                runner.last_loss, runner.last_gnorm,
+            ),
+        )
+        crossed_t = (episodes // cfg.target_network_update_freq) > (
+            runner.episodes // cfg.target_network_update_freq
+        )
+        do_polyak = jnp.logical_and(crossed_t, warm)
+        target_params = jax.lax.cond(
+            do_polyak,
+            lambda: nets.soft_update(runner.target_params, params, cfg.polyak),
+            lambda: runner.target_params,
+        )
+        runner = runner.replace(
+            params=params, target_params=target_params, opt_state=opt_state,
+            ring=ring, acc=acc, env_state=env_state,
+            obs=ts2.obs, state=ts2.state, avail=ts2.avail, h=h2,
+            stats=stats, step=step, episodes=episodes,
+            last_loss=loss, last_gnorm=gnorm,
+            num_updates=runner.num_updates + do_update.astype(jnp.float32),
+            key=key,
+        )
+        return runner, epsilon
+
+    @jax.jit
+    def train_block(runner: RecQRunnerState):
+        runner, epsilons = jax.lax.scan(
+            train_iter, runner, None, length=cfg.log_interval
+        )
+        metrics = {
+            **runner.stats.rollout_metrics(),
+            "rollout/epsilon": epsilons[-1],
+            "train/loss": runner.last_loss,
+            "train/grads": runner.last_gnorm,
+            "train/num_updates": runner.num_updates,
+        }
+        return runner.replace(stats=runner.stats.flush()), metrics
+
+    def greedy_policy(params, carry, obs, avail, key):
+        h2, q = nets.rnn_apply(params["q"], carry, obs)
+        return h2, masked_argmax(q, avail)
+
+    eval_fn = jax.jit(
+        make_evaluator(
+            env, cfg.num_eval_ep, greedy_policy,
+            init_carry=lambda m: jnp.zeros((m, env.n_agents, H)),
+        )
+    )
+    return init, train_block, eval_fn
+
+
+def train(cfg: RecurrentQConfig, env=None, logger: Logger | None = None):
+    algo_name = "VDN-RNN" if cfg.mixing == "vdn" else "QMIX-RNN"
+    init, train_block, eval_fn = make_train(cfg, env)
+    own_logger = logger is None
+    if own_logger:
+        logger = Logger(algo_name, cfg)
+    key = jax.random.PRNGKey(cfg.seed)
+    init_key, eval_key = jax.random.split(key)
+    runner = init(init_key)
+    num_blocks = max(1, cfg.total_timesteps // (cfg.num_envs * cfg.log_interval))
+    eval_every = max(1, cfg.eval_steps // (cfg.num_envs * cfg.log_interval))
+    eval_metrics = {}
+    t0 = time.time()
+    for block in range(num_blocks):
+        runner, metrics = train_block(runner)
+        env_steps = int(runner.step) * cfg.num_envs
+        metrics = {k: float(v) for k, v in metrics.items()}
+        metrics["perf/env_steps_per_s"] = env_steps / max(time.time() - t0, 1e-9)
+        logger.log(metrics, env_steps)
+        if cfg.verbose:
+            print(
+                f"[{algo_name}] step={env_steps} "
+                f"ep_reward={metrics['rollout/ep_reward']:.2f} "
+                f"loss={metrics['train/loss']:.4f} "
+                f"sps={metrics['perf/env_steps_per_s']:,.0f}",
+                flush=True,
+            )
+        if (block + 1) % eval_every == 0:
+            eval_key, k = jax.random.split(eval_key)
+            eval_metrics = {k2: float(v) for k2, v in eval_fn(runner.params, k).items()}
+            logger.log(eval_metrics, env_steps)
+    if own_logger:
+        logger.close()
+    return runner, eval_metrics
+
+
+def main():
+    from cleanmarl_tpu.core.cli import cli
+
+    train(cli(RecurrentQConfig, description=__doc__))
+
+
+if __name__ == "__main__":
+    main()

@@ -83,3 +83,42 @@ def test_mappo_critic_sees_state_not_obs():
     runner_i = init_i(jax.random.PRNGKey(0))
     wi = runner_i.critic_params["layers"][0]["w"]
     assert wi.shape[0] == env.obs_dim
+
+
+def test_recurrent_mappo_learns_matrix_game():
+    """North-star shape: GRU actor + centralized FF critic
+    (mappo_lstm_multienvs.py)."""
+    env = MatrixGame(n_agents=2, n_actions=3, episode_limit=8)
+    cfg = ppo_cfg(recurrent=True, total_timesteps=80_000)
+    runner, eval_fn, metrics = run_to_convergence(make_mappo, cfg, env)
+    out = eval_fn(runner.actor_params, jax.random.PRNGKey(1))
+    assert float(out["eval/ep_reward"]) > 6.8, dict(out)
+
+
+def test_recurrent_hidden_state_carries_and_resets():
+    """With rollout_len = episode_limit every episode ends at the block
+    boundary, so the carried h must be zeros; with a mid-episode cut
+    (rollout_len=5 vs limit 8) the carried h must be non-zero."""
+    env = MatrixGame(n_agents=2, n_actions=3, episode_limit=8)
+
+    cfg_aligned = ppo_cfg(recurrent=True, total_timesteps=2048)
+    init, train_block, *_ = make_mappo(cfg_aligned, env)
+    runner = init(jax.random.PRNGKey(0))
+    runner, _ = train_block(runner)
+    assert np.abs(np.asarray(runner.actor_h)).sum() == 0.0
+
+    cfg_cut = ppo_cfg(recurrent=True, rollout_len=5, total_timesteps=2048,
+                      log_interval=1)
+    init, train_block, *_ = make_mappo(cfg_cut, env)
+    runner = init(jax.random.PRNGKey(0))
+    runner, _ = train_block(runner)
+    assert np.abs(np.asarray(runner.actor_h)).sum() > 0.0
+
+
+def test_tbptt_gradient_cut_runs():
+    env = MatrixGame(n_agents=2, n_actions=3, episode_limit=8)
+    cfg = ppo_cfg(recurrent=True, tbptt=4, total_timesteps=2048)
+    init, train_block, eval_fn, meta = make_ippo(cfg, env)
+    runner = init(jax.random.PRNGKey(0))
+    runner, metrics = train_block(runner)
+    assert np.isfinite(float(metrics["train/actor_loss"]))
