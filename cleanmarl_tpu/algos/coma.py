@@ -54,6 +54,8 @@ class COMAConfig:
     agent_ids: bool = True
     num_envs: int = 16
     rollout_len: int = 0              # 0 → episode_limit
+    recurrent: bool = False           # GRU actor (coma_lstm.py)
+    per_agent_rewards: bool = False   # un-aggregated env rewards (coma_lbf.py:255)
     actor_hidden_dim: int = 64
     actor_num_layers: int = 1
     critic_hidden_dim: int = 64
@@ -76,6 +78,9 @@ class COMAConfig:
     log_interval: int = 8
     eval_steps: int = 50_000
     num_eval_ep: int = 10
+    checkpoint_dir: str = ""
+    checkpoint_every: int = 200_000   # env steps between saves
+    resume: bool = False
     seed: int = 1
     verbose: bool = True
 
@@ -91,6 +96,7 @@ class COMARunnerState:
     obs: chex.Array
     state: chex.Array
     avail: chex.Array
+    actor_h: chex.Array  # (num_envs, n_agents, H); zeros when FF
     stats: EpisodeStats
     step: chex.Array
     num_updates: chex.Array
@@ -110,13 +116,43 @@ def make_train(cfg: COMAConfig, env=None):
 
     idx = jnp.arange(n)
     others = jax.vmap(lambda i: jnp.delete(idx, i, assume_unique_indices=True))(idx)
+    H = cfg.actor_hidden_dim
 
-    def actor_probs(params, obs, avail, epsilon):
-        logits = nets.masked_q(nets.mlp_apply(params, obs), avail)
+    def _eps_mix(logits, avail, epsilon):
         probs = jax.nn.softmax(logits, axis=-1)
         availf = avail.astype(jnp.float32)
         uni = availf / jnp.maximum(availf.sum(-1, keepdims=True), 1.0)
         return (1.0 - epsilon) * probs + epsilon * uni
+
+    def actor_step(params, h, obs, avail, epsilon):
+        """→ (h', probs). h is ignored/passed-through for the FF actor."""
+        if cfg.recurrent:
+            h2, logits = nets.rnn_apply(params, h, obs)
+        else:
+            h2, logits = h, nets.mlp_apply(params, obs)
+        return h2, _eps_mix(nets.masked_q(logits, avail), avail, epsilon)
+
+    def actor_probs(params, obs, avail, epsilon):
+        """FF probability helper (bootstrap value at the rollout cut)."""
+        _, probs = actor_step(
+            params, jnp.zeros(obs.shape[:-1] + (H,)), obs, avail, epsilon
+        )
+        return probs
+
+    def actor_probs_seq(params, h0, obs_seq, avail_seq, ended_seq, epsilon):
+        """Probs over a (T, B, n, ·) stream with GRU carry resets at
+        episode boundaries (identity carry for FF)."""
+        if not cfg.recurrent:
+            return actor_probs(params, obs_seq, avail_seq, epsilon)
+
+        def body(h, inp):
+            obs, avail, ended = inp
+            h2, probs = actor_step(params, h, obs, avail, epsilon)
+            h2 = jnp.where(ended[:, None, None], 0.0, h2)
+            return h2, probs
+
+        _, probs = jax.lax.scan(body, h0, (obs_seq, avail_seq, ended_seq))
+        return probs
 
     def critic_q(params, state, obs, actions):
         """state (...,S), obs (...,n,O), actions (...,n) int →
@@ -133,10 +169,13 @@ def make_train(cfg: COMAConfig, env=None):
 
     def init(key: chex.PRNGKey) -> COMARunnerState:
         ka, kc, kreset, key = jax.random.split(key, 4)
-        actor_params = nets.mlp_init(
-            ka, env.obs_dim, cfg.actor_hidden_dim, A,
-            cfg.actor_num_layers, final_gain=0.01,
-        )
+        if cfg.recurrent:
+            actor_params = nets.rnn_init(ka, env.obs_dim, H, A, final_gain=0.01)
+        else:
+            actor_params = nets.mlp_init(
+                ka, env.obs_dim, cfg.actor_hidden_dim, A,
+                cfg.actor_num_layers, final_gain=0.01,
+            )
         critic_params = nets.mlp_init(
             kc, critic_in, cfg.critic_hidden_dim, A, cfg.critic_num_layers
         )
@@ -149,6 +188,7 @@ def make_train(cfg: COMAConfig, env=None):
             critic_opt=critic_opt.init(critic_params),
             env_state=env_state,
             obs=ts.obs, state=ts.state, avail=ts.avail,
+            actor_h=jnp.zeros((cfg.num_envs, n, H)),
             stats=EpisodeStats.create(cfg.num_envs),
             step=jnp.zeros((), jnp.int32),
             num_updates=jnp.zeros(()),
@@ -157,38 +197,44 @@ def make_train(cfg: COMAConfig, env=None):
 
     def collect_rollout(runner: COMARunnerState, epsilon):
         def step_fn(carry, _):
-            env_state, obs, state, avail, stats, key = carry
+            env_state, obs, state, avail, h, stats, key = carry
             key, k_act, k_step = jax.random.split(key, 3)
-            probs = actor_probs(runner.actor_params, obs, avail, epsilon)
+            h2, probs = actor_step(runner.actor_params, h, obs, avail, epsilon)
             keys = jax.random.split(k_act, cfg.num_envs * n).reshape(cfg.num_envs, n, 2)
             actions = jax.vmap(jax.vmap(
                 lambda k, p: jax.random.categorical(k, jnp.log(p + 1e-10))
             ))(keys, probs).astype(jnp.int32)
             env_state, ts2, final = vec.step(env_state, actions, k_step)
             ended = jnp.logical_or(ts2.done, ts2.truncated)
+            h2 = jnp.where(ended[:, None, None], 0.0, h2)
             stats = stats.step(
                 ts2.reward, ended,
                 ts2.info.get("battle_won", jnp.zeros_like(ts2.reward)),
             )
+            if cfg.per_agent_rewards:
+                reward = ts2.info["agent_rewards"]          # (E, n)
+            else:
+                reward = jnp.broadcast_to(ts2.reward[:, None], (cfg.num_envs, n))
             out = {
                 "obs": obs, "state": state, "avail": avail,
-                "action": actions, "reward": ts2.reward, "ended": ended,
+                "action": actions, "reward": reward, "ended": ended,
             }
-            return (env_state, ts2.obs, ts2.state, ts2.avail, stats, key), out
+            return (env_state, ts2.obs, ts2.state, ts2.avail, h2, stats, key), out
 
         key, scan_key = jax.random.split(runner.key)
+        h0 = runner.actor_h
         carry0 = (runner.env_state, runner.obs, runner.state, runner.avail,
-                  runner.stats, scan_key)
+                  h0, runner.stats, scan_key)
         carry, traj = jax.lax.scan(step_fn, carry0, None, length=rollout_len)
-        env_state, obs, state, avail, stats, _ = carry
+        env_state, obs, state, avail, h, stats, _ = carry
         runner = runner.replace(
             env_state=env_state, obs=obs, state=state, avail=avail,
-            stats=stats, key=key,
+            actor_h=h, stats=stats, key=key,
             step=runner.step + rollout_len * cfg.num_envs,
         )
-        return runner, traj
+        return runner, traj, h0
 
-    def update(runner: COMARunnerState, traj, epsilon):
+    def update(runner: COMARunnerState, traj, h0, epsilon):
         # ---- TD(λ) targets from the target critic --------------------
         q_tgt = critic_q(
             runner.target_critic, traj["state"], traj["obs"], traj["action"]
@@ -196,14 +242,16 @@ def make_train(cfg: COMAConfig, env=None):
         q_taken_tgt = jnp.take_along_axis(
             q_tgt, traj["action"][..., None], axis=-1
         )[..., 0]                                                # (T,B,n)
-        # expected-SARSA bootstrap at the rollout cut
-        pi_boot = actor_probs(runner.actor_params, runner.obs, runner.avail, 0.0)
+        # expected-SARSA bootstrap at the rollout cut (live hidden state)
+        _, pi_boot = actor_step(
+            runner.actor_params, runner.actor_h, runner.obs, runner.avail, 0.0
+        )
         # the cut-state critic needs SOME joint action for "others"; use
         # the policy argmax (only reached when the episode didn't end)
         a_boot = jnp.argmax(pi_boot, axis=-1).astype(jnp.int32)
         q_boot = critic_q(runner.target_critic, runner.state, runner.obs, a_boot)
         v_boot = jnp.sum(pi_boot * q_boot, axis=-1)              # (B,n)
-        reward = jnp.broadcast_to(traj["reward"][..., None], q_taken_tgt.shape)
+        reward = traj["reward"]                                  # (T,B,n)
         ended = jnp.broadcast_to(traj["ended"][..., None], q_taken_tgt.shape)
         returns = lambda_returns(
             reward, ended, q_taken_tgt, v_boot, cfg.gamma, lam
@@ -228,7 +276,9 @@ def make_train(cfg: COMAConfig, env=None):
         q_new = jax.lax.stop_gradient(q_new)
 
         def actor_loss_fn(p):
-            pi = actor_probs(p, traj["obs"], traj["avail"], 0.0)
+            pi = actor_probs_seq(
+                p, h0, traj["obs"], traj["avail"], traj["ended"], 0.0
+            )
             log_pi = jnp.log(pi + 1e-8)
             baseline = jnp.sum(pi * q_new, axis=-1)
             q_taken = jnp.take_along_axis(q_new, traj["action"][..., None], axis=-1)[..., 0]
@@ -275,8 +325,8 @@ def make_train(cfg: COMAConfig, env=None):
         epsilon = linear_schedule(
             cfg.start_e, cfg.end_e, cfg.exploration_fraction, runner.num_updates
         )
-        runner, traj = collect_rollout(runner, epsilon)
-        runner, metrics = update(runner, traj, epsilon)
+        runner, traj, h0 = collect_rollout(runner, epsilon)
+        runner, metrics = update(runner, traj, h0, epsilon)
         metrics["rollout/epsilon"] = epsilon
         return runner, metrics
 
@@ -293,7 +343,7 @@ def make_train(cfg: COMAConfig, env=None):
         return runner.replace(stats=runner.stats.flush()), metrics
 
     def sampled_policy(params, carry, obs, avail, key):
-        probs = actor_probs(params, obs, avail, 0.0)
+        carry, probs = actor_step(params, carry, obs, avail, 0.0)
         n_env = obs.shape[0]
         keys = jax.random.split(key, n_env * n).reshape(n_env, n, 2)
         actions = jax.vmap(jax.vmap(
@@ -301,47 +351,27 @@ def make_train(cfg: COMAConfig, env=None):
         ))(keys, probs)
         return carry, actions.astype(jnp.int32)
 
-    eval_fn = jax.jit(make_evaluator(env, cfg.num_eval_ep, sampled_policy))
+    eval_fn = jax.jit(
+        make_evaluator(
+            env, cfg.num_eval_ep, sampled_policy,
+            init_carry=lambda m: jnp.zeros((m, n, H)),
+        )
+    )
     meta = {"steps_per_block": rollout_len * cfg.num_envs * cfg.log_interval}
     return init, train_block, eval_fn, meta
 
 
 def train(cfg: COMAConfig, env=None, logger: Logger | None = None):
+    from cleanmarl_tpu.core.driver import run_training
+
     init, train_block, eval_fn, meta = make_train(cfg, env)
-    own_logger = logger is None
-    if own_logger:
-        logger = Logger("COMA", cfg)
-    key = jax.random.PRNGKey(cfg.seed)
-    init_key, eval_key = jax.random.split(key)
-    runner = init(init_key)
-    num_blocks = max(1, cfg.total_timesteps // meta["steps_per_block"])
-    eval_every = max(1, cfg.eval_steps // meta["steps_per_block"])
-    eval_metrics = {}
-    t0 = time.time()
-    for block in range(num_blocks):
-        runner, metrics = train_block(runner)
-        env_steps = int(runner.step)
-        metrics = {k: float(v) for k, v in metrics.items()}
-        metrics["perf/env_steps_per_s"] = env_steps / max(time.time() - t0, 1e-9)
-        logger.log(metrics, env_steps)
-        if cfg.verbose:
-            print(
-                f"[COMA] step={env_steps} "
-                f"ep_reward={metrics['rollout/ep_reward']:.2f} "
-                f"critic_loss={metrics['train/critic_loss']:.4f} "
-                f"sps={metrics['perf/env_steps_per_s']:,.0f}",
-                flush=True,
-            )
-        if (block + 1) % eval_every == 0:
-            eval_key, k = jax.random.split(eval_key)
-            eval_metrics = {
-                k2: float(v)
-                for k2, v in eval_fn(runner.actor_params, k).items()
-            }
-            logger.log(eval_metrics, env_steps)
-    if own_logger:
-        logger.close()
-    return runner, eval_metrics
+    return run_training(
+        "COMA", cfg, init, train_block, eval_fn,
+        steps_per_block=meta["steps_per_block"],
+        eval_params=lambda r: r.actor_params,
+        print_keys=("rollout/ep_reward", "train/critic_loss"),
+        logger=logger,
+    )
 
 
 def main():

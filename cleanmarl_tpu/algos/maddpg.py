@@ -58,6 +58,7 @@ class MADDPGConfig:
     learning_rate_actor: float = 3e-4
     learning_rate_critic: float = 3e-4
     batch_size: int = 10             # episodes per update
+    recurrent: bool = False          # GRU actor (maddpg_lstm.py:79-101)
     actor_hidden_dim: int = 32
     actor_num_layers: int = 1
     critic_hidden_dim: int = 128
@@ -69,6 +70,9 @@ class MADDPGConfig:
     log_interval: int = 500
     eval_steps: int = 5000
     num_eval_ep: int = 10
+    checkpoint_dir: str = ""
+    checkpoint_every: int = 200_000   # env steps between saves
+    resume: bool = False
     seed: int = 1
     verbose: bool = True
 
@@ -97,6 +101,7 @@ class MADDPGRunnerState:
     obs: chex.Array
     state: chex.Array
     avail: chex.Array
+    actor_h: chex.Array  # (num_envs, n_agents, H); zeros when FF
     stats: EpisodeStats
     step: chex.Array
     episodes: chex.Array
@@ -118,8 +123,56 @@ def make_train(cfg: MADDPGConfig, env=None):
     joint_dim = env.n_agents * env.n_actions
     critic_in = env.state_dim + joint_dim
 
+    H = cfg.actor_hidden_dim
+
+    def actor_step(params, h, obs, avail):
+        """→ (h', masked logits). h passes through for the FF actor."""
+        if cfg.recurrent:
+            h2, logits = nets.rnn_apply(params, h, obs)
+            return h2, nets.masked_q(logits, avail)
+        return h, nets.masked_q(nets.mlp_apply(params, obs), avail)
+
     def actor_logits(params, obs, avail):
+        """FF path only (used when not recurrent)."""
         return nets.masked_q(nets.mlp_apply(params, obs), avail)
+
+    def actor_logits_episodes(params, obs_bt, avail_bt):
+        """Logits over episode batches (B, T, n, ·); episodes start at
+        t=0 so the GRU carry starts at zeros, no mid-row resets."""
+        if not cfg.recurrent:
+            return actor_logits(params, obs_bt, avail_bt)
+        obs_tm = jnp.moveaxis(obs_bt, 0, 1)      # (T, B, n, O)
+        avail_tm = jnp.moveaxis(avail_bt, 0, 1)
+        h0 = jnp.zeros(obs_tm.shape[1:-1] + (H,))
+
+        def body(h, inp):
+            obs, avail = inp
+            h2, logits = actor_step(params, h, obs, avail)
+            return h2, logits
+
+        _, logits = jax.lax.scan(body, h0, (obs_tm, avail_tm))
+        return jnp.moveaxis(logits, 0, 1)        # back to (B, T, n, A)
+
+    def target_next_logits_episodes(params, obs_bt, next_obs_bt, next_avail_bt):
+        """Target-actor logits at the NEXT obs of every step: the hidden
+        stream advances on obs_t and is evaluated one GRU step ahead on
+        next_obs_t (exact at terminal steps; within an episode
+        next_obs_t == obs_{t+1})."""
+        if not cfg.recurrent:
+            return actor_logits(params, next_obs_bt, next_avail_bt)
+        obs_tm = jnp.moveaxis(obs_bt, 0, 1)
+        next_tm = jnp.moveaxis(next_obs_bt, 0, 1)
+        na_tm = jnp.moveaxis(next_avail_bt, 0, 1)
+        h0 = jnp.zeros(obs_tm.shape[1:-1] + (H,))
+
+        def body(h, inp):
+            obs, next_obs, next_avail = inp
+            h2, _ = nets.rnn_apply(params, h, obs)
+            _, logits = nets.rnn_apply(params, h2, next_obs)
+            return h2, nets.masked_q(logits, next_avail)
+
+        _, logits = jax.lax.scan(body, h0, (obs_tm, next_tm, na_tm))
+        return jnp.moveaxis(logits, 0, 1)
 
     def critic_q(params, state, joint_onehot):
         """state (..., S), joint_onehot (..., n, A) → Q (...)."""
@@ -142,10 +195,15 @@ def make_train(cfg: MADDPGConfig, env=None):
 
     def init(key: chex.PRNGKey) -> MADDPGRunnerState:
         ka, kc, kreset, key = jax.random.split(key, 4)
-        actor_params = nets.mlp_init(
-            ka, env.obs_dim, cfg.actor_hidden_dim, env.n_actions,
-            cfg.actor_num_layers, final_gain=0.01,
-        )
+        if cfg.recurrent:
+            actor_params = nets.rnn_init(
+                ka, env.obs_dim, H, env.n_actions, final_gain=0.01
+            )
+        else:
+            actor_params = nets.mlp_init(
+                ka, env.obs_dim, cfg.actor_hidden_dim, env.n_actions,
+                cfg.actor_num_layers, final_gain=0.01,
+            )
         critic_params = nets.mlp_init(
             kc, critic_in, cfg.critic_hidden_dim, 1, cfg.critic_num_layers
         )
@@ -162,6 +220,7 @@ def make_train(cfg: MADDPGConfig, env=None):
             acc=EpisodeAccumulator.create(cfg.num_envs, t_max, example_record()),
             env_state=env_state,
             obs=ts.obs, state=ts.state, avail=ts.avail,
+            actor_h=jnp.zeros((cfg.num_envs, env.n_agents, H)),
             stats=EpisodeStats.create(cfg.num_envs),
             step=jnp.zeros((), jnp.int32),
             episodes=jnp.zeros((), jnp.int32),
@@ -176,8 +235,9 @@ def make_train(cfg: MADDPGConfig, env=None):
         batch, mask = ring.sample(k_sample, cfg.batch_size)  # leaves (B,T,...)
 
         # ---- critic ---------------------------------------------------
-        next_logits = actor_logits(
-            runner.target_actor, batch["next_obs"], batch["next_avail"]
+        next_logits = target_next_logits_episodes(
+            runner.target_actor, batch["obs"], batch["next_obs"],
+            batch["next_avail"],
         )
         a_next = gumbel_softmax(k_tgt, next_logits, cfg.gumbel_tau, hard=True)
         q_next = critic_q(runner.target_critic, batch["next_state"], a_next)
@@ -200,7 +260,7 @@ def make_train(cfg: MADDPGConfig, env=None):
         eye = jnp.eye(env.n_agents)[:, :, None]  # (i, n, 1)
 
         def actor_loss_fn(p):
-            logits = actor_logits(p, batch["obs"], batch["avail"])
+            logits = actor_logits_episodes(p, batch["obs"], batch["avail"])
             fresh = gumbel_softmax(k_fresh, logits, cfg.gumbel_tau, hard=False)
 
             def q_with_agent_i(i_onehot):
@@ -224,11 +284,14 @@ def make_train(cfg: MADDPGConfig, env=None):
 
     def train_iter(runner: MADDPGRunnerState, _):
         key, k_act, k_step, k_upd = jax.random.split(runner.key, 4)
-        logits = actor_logits(runner.actor_params, runner.obs, runner.avail)
+        h2, logits = actor_step(
+            runner.actor_params, runner.actor_h, runner.obs, runner.avail
+        )
         onehot = gumbel_softmax(k_act, logits, cfg.gumbel_tau, hard=True)
         actions = jnp.argmax(onehot, axis=-1).astype(jnp.int32)
         env_state, ts2, final = vec.step(runner.env_state, actions, k_step)
         ended = jnp.logical_or(ts2.done, ts2.truncated)
+        h2 = jnp.where(ended[:, None, None], 0.0, h2)
         record = {
             "obs": runner.obs,
             "state": runner.state,
@@ -278,7 +341,7 @@ def make_train(cfg: MADDPGConfig, env=None):
             target_actor=target_actor, target_critic=target_critic,
             actor_opt=a_opt, critic_opt=c_opt,
             ring=ring, acc=acc, env_state=env_state,
-            obs=ts2.obs, state=ts2.state, avail=ts2.avail,
+            obs=ts2.obs, state=ts2.state, avail=ts2.avail, actor_h=h2,
             stats=stats, step=step, episodes=episodes,
             last_actor_loss=a_loss, last_critic_loss=c_loss,
             last_actor_gnorm=a_gnorm, last_critic_gnorm=c_gnorm,
@@ -302,49 +365,31 @@ def make_train(cfg: MADDPGConfig, env=None):
 
     def greedy_policy(params, carry, obs, avail, key):
         # eval = argmax of masked logits (maddpg.py:396-400)
-        return carry, masked_argmax(nets.mlp_apply(params, obs), avail)
+        carry, logits = actor_step(params, carry, obs, avail)
+        return carry, masked_argmax(logits, avail)
 
-    eval_fn = jax.jit(make_evaluator(env, cfg.num_eval_ep, greedy_policy))
+    eval_fn = jax.jit(
+        make_evaluator(
+            env, cfg.num_eval_ep, greedy_policy,
+            init_carry=lambda m: jnp.zeros((m, env.n_agents, H)),
+        )
+    )
     return init, train_block, eval_fn
 
 
 def train(cfg: MADDPGConfig, env=None, logger: Logger | None = None,
           algo_name: str = "MADDPG"):
+    from cleanmarl_tpu.core.driver import run_training
+
     init, train_block, eval_fn = make_train(cfg, env)
-    own_logger = logger is None
-    if own_logger:
-        logger = Logger(algo_name, cfg)
-    key = jax.random.PRNGKey(cfg.seed)
-    init_key, eval_key = jax.random.split(key)
-    runner = init(init_key)
-    num_blocks = max(1, cfg.total_timesteps // (cfg.num_envs * cfg.log_interval))
-    eval_every = max(1, cfg.eval_steps // (cfg.num_envs * cfg.log_interval))
-    eval_metrics = {}
-    t0 = time.time()
-    for block in range(num_blocks):
-        runner, metrics = train_block(runner)
-        env_steps = int(runner.step) * cfg.num_envs
-        metrics = {k: float(v) for k, v in metrics.items()}
-        metrics["perf/env_steps_per_s"] = env_steps / max(time.time() - t0, 1e-9)
-        logger.log(metrics, env_steps)
-        if cfg.verbose:
-            print(
-                f"[{algo_name}] step={env_steps} "
-                f"ep_reward={metrics['rollout/ep_reward']:.2f} "
-                f"critic_loss={metrics['train/critic_loss']:.4f} "
-                f"sps={metrics['perf/env_steps_per_s']:,.0f}",
-                flush=True,
-            )
-        if (block + 1) % eval_every == 0:
-            eval_key, k = jax.random.split(eval_key)
-            eval_metrics = {
-                k2: float(v)
-                for k2, v in eval_fn(runner.actor_params, k).items()
-            }
-            logger.log(eval_metrics, env_steps)
-    if own_logger:
-        logger.close()
-    return runner, eval_metrics
+    return run_training(
+        algo_name, cfg, init, train_block, eval_fn,
+        steps_per_block=cfg.num_envs * cfg.log_interval,
+        eval_params=lambda r: r.actor_params,
+        steps_of=lambda r: int(r.step) * cfg.num_envs,
+        print_keys=("rollout/ep_reward", "train/critic_loss"),
+        logger=logger,
+    )
 
 
 def main():

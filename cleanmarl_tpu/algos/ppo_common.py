@@ -83,6 +83,9 @@ class PPOConfig:
     log_interval: int = 8           # rollouts per host log
     eval_steps: int = 50_000        # env transitions between evals
     num_eval_ep: int = 10
+    checkpoint_dir: str = ""
+    checkpoint_every: int = 200_000   # env steps between saves
+    resume: bool = False
     seed: int = 1
     verbose: bool = True
 
@@ -360,37 +363,13 @@ def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
 
 def train(cfg: PPOConfig, env=None, centralized: bool = False,
           algo_name: str = "IPPO", logger: Logger | None = None):
+    from cleanmarl_tpu.core.driver import run_training
+
     init, train_block, eval_fn, meta = make_train(cfg, env, centralized, algo_name)
-    own_logger = logger is None
-    if own_logger:
-        logger = Logger(algo_name, cfg)
-    key = jax.random.PRNGKey(cfg.seed)
-    init_key, eval_key = jax.random.split(key)
-    runner = init(init_key)
-    num_blocks = max(1, cfg.total_timesteps // meta["steps_per_block"])
-    eval_every = max(1, cfg.eval_steps // meta["steps_per_block"])
-    eval_metrics = {}
-    t0 = time.time()
-    for block in range(num_blocks):
-        runner, metrics = train_block(runner)
-        env_steps = int(runner.step)
-        metrics = {k: float(v) for k, v in metrics.items()}
-        metrics["perf/env_steps_per_s"] = env_steps / max(time.time() - t0, 1e-9)
-        logger.log(metrics, env_steps)
-        if cfg.verbose:
-            print(
-                f"[{algo_name}] step={env_steps} "
-                f"ep_reward={metrics['rollout/ep_reward']:.2f} "
-                f"actor_loss={metrics['train/actor_loss']:.4f} "
-                f"sps={metrics['perf/env_steps_per_s']:,.0f}",
-                flush=True,
-            )
-        if (block + 1) % eval_every == 0:
-            eval_key, k = jax.random.split(eval_key)
-            eval_metrics = {
-                k2: float(v) for k2, v in eval_fn(runner.actor_params, k).items()
-            }
-            logger.log(eval_metrics, env_steps)
-    if own_logger:
-        logger.close()
-    return runner, eval_metrics
+    return run_training(
+        algo_name, cfg, init, train_block, eval_fn,
+        steps_per_block=meta["steps_per_block"],
+        eval_params=lambda r: r.actor_params,
+        print_keys=("rollout/ep_reward", "train/actor_loss"),
+        logger=logger,
+    )

@@ -63,10 +63,15 @@ class QMIXConfig:
     num_layers: int = 1
     target_network_update_freq: int = 1  # polyak every N completed episodes
     polyak: float = 0.01
+    normalize_reward: bool = False   # per-batch masked standardize (qmix.py:190)
+    memefficient: bool = False       # store-once episode layout (qmix_memefficient.py)
     clip_gradients: float = -1.0
     log_interval: int = 500
     eval_steps: int = 5000
     num_eval_ep: int = 5
+    checkpoint_dir: str = ""
+    checkpoint_every: int = 200_000   # env steps between saves
+    resume: bool = False
     seed: int = 1
     verbose: bool = True
 
@@ -100,16 +105,26 @@ def make_train(cfg: QMIXConfig, env=None):
     t_max = env.episode_limit
 
     def example_record():
-        return {
+        rec = {
             "obs": jnp.zeros((env.n_agents, env.obs_dim)),
             "state": jnp.zeros((env.state_dim,)),
             "action": jnp.zeros((env.n_agents,), jnp.int32),
             "reward": jnp.zeros(()),
             "done": jnp.zeros((), jnp.bool_),
-            "next_obs": jnp.zeros((env.n_agents, env.obs_dim)),
-            "next_state": jnp.zeros((env.state_dim,)),
-            "next_avail": jnp.zeros((env.n_agents, env.n_actions), jnp.bool_),
         }
+        if cfg.memefficient:
+            # store-once layout (qmix_memefficient.py): next_* derived at
+            # sample time from the t+1 slice; the final step of every
+            # episode then trains on reward alone
+            # (qmix_memefficient.py:374-387)
+            rec["avail"] = jnp.zeros((env.n_agents, env.n_actions), jnp.bool_)
+        else:
+            rec.update(
+                next_obs=jnp.zeros((env.n_agents, env.obs_dim)),
+                next_state=jnp.zeros((env.state_dim,)),
+                next_avail=jnp.zeros((env.n_agents, env.n_actions), jnp.bool_),
+            )
+        return rec
 
     def init(key: chex.PRNGKey) -> QMIXRunnerState:
         kq, km, kreset, key = jax.random.split(key, 4)
@@ -143,16 +158,32 @@ def make_train(cfg: QMIXConfig, env=None):
 
     def update(params, target_params, opt_state, ring, key):
         batch, mask = ring.sample(key, cfg.batch_size)
+        reward = batch["reward"]
+        if cfg.normalize_reward:
+            from cleanmarl_tpu.core.rewards import standardize
+
+            reward = standardize(reward, mask)
+        if cfg.memefficient:
+            # next_* = t+1 slice of the stored streams; the wrapped last
+            # row is neutralized by has_next
+            next_obs = jnp.roll(batch["obs"], -1, axis=1)
+            next_state = jnp.roll(batch["state"], -1, axis=1)
+            next_avail = jnp.roll(batch["avail"], -1, axis=1)
+            has_next = jnp.roll(mask, -1, axis=1).at[:, -1].set(0.0)
+        else:
+            next_obs = batch["next_obs"]
+            next_state = batch["next_state"]
+            next_avail = batch["next_avail"]
+            has_next = jnp.ones_like(mask)
         q_next = nets.masked_q(
-            nets.mlp_apply(target_params["q"], batch["next_obs"]),
-            batch["next_avail"],
+            nets.mlp_apply(target_params["q"], next_obs), next_avail
         )
         q_next_max = q_next.max(axis=-1)                          # (B,T,n)
         qtot_next = nets.mixer_apply(
-            target_params["mixer"], q_next_max, batch["next_state"]
+            target_params["mixer"], q_next_max, next_state
         )                                                         # (B,T)
         done = batch["done"].astype(jnp.float32)
-        target = batch["reward"] + cfg.gamma * (1.0 - done) * qtot_next
+        target = reward + cfg.gamma * (1.0 - done) * has_next * qtot_next
 
         def loss_fn(p):
             q = nets.mlp_apply(p["q"], batch["obs"])
@@ -183,10 +214,15 @@ def make_train(cfg: QMIXConfig, env=None):
             "action": actions,
             "reward": ts2.reward,
             "done": ts2.done,
-            "next_obs": final.obs,
-            "next_state": final.state,
-            "next_avail": final.avail.astype(jnp.bool_),
         }
+        if cfg.memefficient:
+            record["avail"] = runner.avail.astype(jnp.bool_)
+        else:
+            record.update(
+                next_obs=final.obs,
+                next_state=final.state,
+                next_avail=final.avail.astype(jnp.bool_),
+            )
         acc, ring = runner.acc.add_step(runner.ring, record, ended)
         stats = runner.stats.step(
             ts2.reward, ended, ts2.info.get("battle_won", jnp.zeros_like(ts2.reward))
@@ -262,37 +298,17 @@ def make_train(cfg: QMIXConfig, env=None):
 
 
 def train(cfg: QMIXConfig, env=None, logger: Logger | None = None):
+    from cleanmarl_tpu.core.driver import run_training
+
     init, train_block, eval_fn = make_train(cfg, env)
-    own_logger = logger is None
-    if own_logger:
-        logger = Logger("QMIX", cfg)
-    key = jax.random.PRNGKey(cfg.seed)
-    init_key, eval_key = jax.random.split(key)
-    runner = init(init_key)
-    num_blocks = max(1, cfg.total_timesteps // (cfg.num_envs * cfg.log_interval))
-    eval_every = max(1, cfg.eval_steps // (cfg.num_envs * cfg.log_interval))
-    eval_metrics = {}
-    t0 = time.time()
-    for block in range(num_blocks):
-        runner, metrics = train_block(runner)
-        env_steps = int(runner.step) * cfg.num_envs
-        metrics = {k: float(v) for k, v in metrics.items()}
-        metrics["perf/env_steps_per_s"] = env_steps / max(time.time() - t0, 1e-9)
-        logger.log(metrics, env_steps)
-        if cfg.verbose:
-            print(
-                f"[QMIX] step={env_steps} ep_reward={metrics['rollout/ep_reward']:.2f} "
-                f"loss={metrics['train/loss']:.4f} "
-                f"sps={metrics['perf/env_steps_per_s']:,.0f}",
-                flush=True,
-            )
-        if (block + 1) % eval_every == 0:
-            eval_key, k = jax.random.split(eval_key)
-            eval_metrics = {k2: float(v) for k2, v in eval_fn(runner.params, k).items()}
-            logger.log(eval_metrics, env_steps)
-    if own_logger:
-        logger.close()
-    return runner, eval_metrics
+    return run_training(
+        "QMIX", cfg, init, train_block, eval_fn,
+        steps_per_block=cfg.num_envs * cfg.log_interval,
+        eval_params=lambda r: r.params,
+        steps_of=lambda r: int(r.step) * cfg.num_envs,
+        print_keys=("rollout/ep_reward", "train/loss"),
+        logger=logger,
+    )
 
 
 def main():

@@ -80,6 +80,9 @@ class RecurrentQConfig:
     log_interval: int = 500
     eval_steps: int = 5000
     num_eval_ep: int = 5
+    checkpoint_dir: str = ""
+    checkpoint_every: int = 200_000   # env steps between saves
+    resume: bool = False
     seed: int = 1
     verbose: bool = True
 
@@ -300,39 +303,18 @@ def make_train(cfg: RecurrentQConfig, env=None):
 
 
 def train(cfg: RecurrentQConfig, env=None, logger: Logger | None = None):
+    from cleanmarl_tpu.core.driver import run_training
+
     algo_name = "VDN-RNN" if cfg.mixing == "vdn" else "QMIX-RNN"
     init, train_block, eval_fn = make_train(cfg, env)
-    own_logger = logger is None
-    if own_logger:
-        logger = Logger(algo_name, cfg)
-    key = jax.random.PRNGKey(cfg.seed)
-    init_key, eval_key = jax.random.split(key)
-    runner = init(init_key)
-    num_blocks = max(1, cfg.total_timesteps // (cfg.num_envs * cfg.log_interval))
-    eval_every = max(1, cfg.eval_steps // (cfg.num_envs * cfg.log_interval))
-    eval_metrics = {}
-    t0 = time.time()
-    for block in range(num_blocks):
-        runner, metrics = train_block(runner)
-        env_steps = int(runner.step) * cfg.num_envs
-        metrics = {k: float(v) for k, v in metrics.items()}
-        metrics["perf/env_steps_per_s"] = env_steps / max(time.time() - t0, 1e-9)
-        logger.log(metrics, env_steps)
-        if cfg.verbose:
-            print(
-                f"[{algo_name}] step={env_steps} "
-                f"ep_reward={metrics['rollout/ep_reward']:.2f} "
-                f"loss={metrics['train/loss']:.4f} "
-                f"sps={metrics['perf/env_steps_per_s']:,.0f}",
-                flush=True,
-            )
-        if (block + 1) % eval_every == 0:
-            eval_key, k = jax.random.split(eval_key)
-            eval_metrics = {k2: float(v) for k2, v in eval_fn(runner.params, k).items()}
-            logger.log(eval_metrics, env_steps)
-    if own_logger:
-        logger.close()
-    return runner, eval_metrics
+    return run_training(
+        algo_name, cfg, init, train_block, eval_fn,
+        steps_per_block=cfg.num_envs * cfg.log_interval,
+        eval_params=lambda r: r.params,
+        steps_of=lambda r: int(r.step) * cfg.num_envs,
+        print_keys=("rollout/ep_reward", "train/loss"),
+        logger=logger,
+    )
 
 
 def main():

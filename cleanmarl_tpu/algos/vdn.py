@@ -61,10 +61,14 @@ class VDNConfig:
     num_layers: int = 1
     target_network_update_freq: int = 1  # polyak every N vectorized iters
     polyak: float = 0.005
+    normalize_reward: bool = False       # per-batch standardize (vdn.py:138-143)
     clip_gradients: float = 5.0
     log_interval: int = 500             # vectorized iters per host log
     eval_steps: int = 5000              # env transitions between evals
     num_eval_ep: int = 10
+    checkpoint_dir: str = ""
+    checkpoint_every: int = 200_000   # env steps between saves
+    resume: bool = False
     seed: int = 1
     verbose: bool = True
 
@@ -136,6 +140,10 @@ def make_train(cfg: VDNConfig, env=None):
 
     def update(params, target_params, opt_state, buffer, key):
         batch = buffer.sample(key, eff_batch)
+        if cfg.normalize_reward:
+            from cleanmarl_tpu.core.rewards import standardize
+
+            batch = batch.replace(reward=standardize(batch.reward))
         q_next = nets.masked_q(
             q_apply(target_params, batch.next_obs), batch.next_avail
         )
@@ -242,39 +250,17 @@ def make_train(cfg: VDNConfig, env=None):
 
 
 def train(cfg: VDNConfig, env=None, logger: Logger | None = None):
-    """Host driver: python loop over jitted blocks + TB logging + eval.
-    Returns the final runner state and the last eval metrics."""
+    from cleanmarl_tpu.core.driver import run_training
+
     init, train_block, eval_fn = make_train(cfg, env)
-    own_logger = logger is None
-    if own_logger:
-        logger = Logger("VDN", cfg)
-    key = jax.random.PRNGKey(cfg.seed)
-    init_key, eval_key = jax.random.split(key)
-    runner = init(init_key)
-    num_blocks = max(1, cfg.total_timesteps // (cfg.num_envs * cfg.log_interval))
-    eval_every = max(1, cfg.eval_steps // (cfg.num_envs * cfg.log_interval))
-    eval_metrics = {}
-    t0 = time.time()
-    for block in range(num_blocks):
-        runner, metrics = train_block(runner)
-        env_steps = int(runner.step) * cfg.num_envs
-        metrics = {k: float(v) for k, v in metrics.items()}
-        sps = env_steps / max(time.time() - t0, 1e-9)
-        metrics["perf/env_steps_per_s"] = sps
-        logger.log(metrics, env_steps)
-        if getattr(cfg, "verbose", False):
-            print(
-                f"[VDN] step={env_steps} ep_reward={metrics['rollout/ep_reward']:.2f} "
-                f"loss={metrics['train/loss']:.4f} sps={sps:,.0f}",
-                flush=True,
-            )
-        if (block + 1) % eval_every == 0:
-            eval_key, k = jax.random.split(eval_key)
-            eval_metrics = {k2: float(v) for k2, v in eval_fn(runner.params, k).items()}
-            logger.log(eval_metrics, env_steps)
-    if own_logger:
-        logger.close()
-    return runner, eval_metrics
+    return run_training(
+        "VDN", cfg, init, train_block, eval_fn,
+        steps_per_block=cfg.num_envs * cfg.log_interval,
+        eval_params=lambda r: r.params,
+        steps_of=lambda r: int(r.step) * cfg.num_envs,
+        print_keys=("rollout/ep_reward", "train/loss"),
+        logger=logger,
+    )
 
 
 def main():

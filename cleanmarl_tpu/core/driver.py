@@ -1,0 +1,97 @@
+"""Shared host-side training driver.
+
+Every algorithm's device side exposes (init, train_block, eval_fn);
+this driver owns the Python loop around them: block execution, metric
+logging (TB/W&B with the reference's scalar names), periodic jitted
+evaluation, console progress, and orbax checkpoint/resume (absent from
+the reference — README.md:56 to-do).
+
+One host transfer per block; everything else stays on device.
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+
+from cleanmarl_tpu.core.logger import Logger
+
+
+def run_training(
+    algo_name: str,
+    cfg: Any,
+    init: Callable,
+    train_block: Callable,
+    eval_fn: Callable,
+    steps_per_block: int,
+    eval_params: Callable[[Any], Any],
+    steps_of: Optional[Callable[[Any], int]] = None,
+    print_keys: Tuple[str, ...] = ("rollout/ep_reward",),
+    logger: Optional[Logger] = None,
+) -> Tuple[Any, Dict[str, float]]:
+    """Returns (final runner, last eval metrics).
+
+    Config knobs read here (all optional on cfg): ``total_timesteps``,
+    ``eval_steps``, ``seed``, ``verbose``, ``checkpoint_dir`` (enables
+    checkpointing), ``checkpoint_every`` (env steps between saves),
+    ``resume`` (restore the latest checkpoint before training).
+    """
+    own_logger = logger is None
+    if own_logger:
+        logger = Logger(algo_name, cfg)
+    key = jax.random.PRNGKey(cfg.seed)
+    init_key, eval_key = jax.random.split(key)
+    runner = init(init_key)
+
+    ckpt = None
+    ckpt_dir = getattr(cfg, "checkpoint_dir", "")
+    if ckpt_dir:
+        from cleanmarl_tpu.core.checkpoint import Checkpointer
+
+        ckpt = Checkpointer(ckpt_dir)
+        if getattr(cfg, "resume", False) and ckpt.latest_step() is not None:
+            runner = ckpt.restore(runner)
+            print(f"[{algo_name}] resumed from step {ckpt.latest_step()}", flush=True)
+
+    num_blocks = max(1, cfg.total_timesteps // steps_per_block)
+    eval_every = max(1, cfg.eval_steps // steps_per_block)
+    ckpt_every = max(
+        1, getattr(cfg, "checkpoint_every", 0) // steps_per_block
+    ) if ckpt_dir else 0
+    if steps_of is None:
+        steps_of = lambda r: int(r.step)  # noqa: E731
+    eval_metrics: Dict[str, float] = {}
+    t0 = time.time()
+    steps0 = None
+    for block in range(num_blocks):
+        runner, metrics = train_block(runner)
+        env_steps = steps_of(runner)
+        if steps0 is None:
+            steps0 = env_steps - steps_per_block
+        metrics = {k: float(v) for k, v in metrics.items()}
+        metrics["perf/env_steps_per_s"] = (env_steps - steps0) / max(
+            time.time() - t0, 1e-9
+        )
+        logger.log(metrics, env_steps)
+        if getattr(cfg, "verbose", False):
+            parts = [f"[{algo_name}] step={env_steps}"]
+            for k in print_keys:
+                if k in metrics:
+                    parts.append(f"{k.split('/')[-1]}={metrics[k]:.3f}")
+            parts.append(f"sps={metrics['perf/env_steps_per_s']:,.0f}")
+            print(" ".join(parts), flush=True)
+        if (block + 1) % eval_every == 0:
+            eval_key, k = jax.random.split(eval_key)
+            eval_metrics = {
+                k2: float(v) for k2, v in eval_fn(eval_params(runner), k).items()
+            }
+            logger.log(eval_metrics, env_steps)
+        if ckpt is not None and ckpt_every and (block + 1) % ckpt_every == 0:
+            ckpt.save(env_steps, runner)
+    if ckpt is not None:
+        ckpt.save(int(cfg.total_timesteps), runner, wait=True)
+        ckpt.close()
+    if own_logger:
+        logger.close()
+    return runner, eval_metrics

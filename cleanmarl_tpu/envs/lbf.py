@@ -103,8 +103,10 @@ class LBF(Environment):
         food_b = jnp.tile(food_feat[None, :], (self.n_agents, 1))
         return jnp.concatenate([food_b, per_agent], axis=-1)
 
-    def _timestep(self, s, reward, done, truncated):
+    def _timestep(self, s, reward, done, truncated, agent_rewards=None):
         obs = self._obs(s)
+        if agent_rewards is None:
+            agent_rewards = jnp.zeros((self.n_agents,), jnp.float32)
         return TimeStep(
             obs=obs,
             state=obs.reshape(-1),
@@ -112,7 +114,12 @@ class LBF(Environment):
             reward=jnp.asarray(reward, jnp.float32),
             done=jnp.asarray(done, jnp.bool_),
             truncated=jnp.asarray(truncated, jnp.bool_),
-            info={"battle_won": jnp.zeros((), jnp.float32)},
+            info={
+                "battle_won": jnp.zeros((), jnp.float32),
+                # per-agent rewards for reward_aggr=None consumers
+                # (coma_lbf.py:255 uses un-aggregated LBF rewards)
+                "agent_rewards": jnp.asarray(agent_rewards, jnp.float32),
+            },
         )
 
     def _reset(self, key):
@@ -201,7 +208,7 @@ class LBF(Environment):
         s2 = s.replace(
             player_pos=player_pos, food_level=food_level, t=t2
         )
-        return s2, self._timestep(s2, team, done, truncated)
+        return s2, self._timestep(s2, team, done, truncated, agent_rewards=rewards)
 
 
 def make(env_name: str, **kwargs) -> Environment:

@@ -50,3 +50,35 @@ def test_coma_one_step_targets_when_tdlambda_off():
     runner = init(jax.random.PRNGKey(0))
     runner, metrics = train_block(runner)
     assert np.isfinite(float(metrics["train/critic_loss"]))
+
+
+def test_recurrent_coma_learns_matrix_game():
+    cfg = COMAConfig(
+        env_type="matrix", num_envs=16, total_timesteps=60_000,
+        recurrent=True, learning_rate_actor=2e-3, learning_rate_critic=3e-3,
+        entropy_coef=0.003, td_lambda=0.8, exploration_fraction=100.0,
+        polyak=0.05, log_interval=4, num_eval_ep=8, seed=0,
+    )
+    env = MatrixGame(n_agents=2, n_actions=3, episode_limit=8)
+    init, train_block, eval_fn, meta = make_train(cfg, env)
+    runner = init(jax.random.PRNGKey(0))
+    for _ in range(cfg.total_timesteps // meta["steps_per_block"]):
+        runner, metrics = train_block(runner)
+    out = eval_fn(runner.actor_params, jax.random.PRNGKey(1))
+    # COMA+GRU learns (random ≈ 2.7 → ≈ 6) but plateaus below the FF
+    # optimum on this game — consistent with COMA's known variance;
+    # the smoke test asserts clear learning, not convergence.
+    assert float(out["eval/ep_reward"]) > 5.0, dict(out)
+
+
+def test_coma_per_agent_rewards_on_lbf():
+    from cleanmarl_tpu.envs.lbf import LBF
+
+    env = LBF(grid_size=6, n_agents=2, n_foods=2, time_limit=20)
+    cfg = COMAConfig(env_type="lbf", num_envs=8, total_timesteps=1280,
+                     per_agent_rewards=True, rollout_len=20,
+                     log_interval=2, seed=0)
+    init, train_block, eval_fn, meta = make_train(cfg, env)
+    runner = init(jax.random.PRNGKey(0))
+    runner, metrics = train_block(runner)
+    assert np.isfinite(float(metrics["train/critic_loss"]))

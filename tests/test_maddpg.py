@@ -57,3 +57,20 @@ def test_maddpg_learns_matrix_game():
         runner, metrics = train_block(runner)
     out = eval_fn(runner.actor_params, jax.random.PRNGKey(1))
     assert float(out["eval/ep_reward"]) > 7.2, dict(out)
+
+
+def test_recurrent_maddpg_learns_matrix_game():
+    cfg = MADDPGConfig(
+        env_type="matrix", num_envs=8, buffer_size=512,
+        total_timesteps=40_000, train_freq=1, batch_size=16,
+        recurrent=True, learning_rate_actor=3e-3, learning_rate_critic=3e-3,
+        actor_hidden_dim=32, critic_hidden_dim=64, polyak=0.05,
+        log_interval=100, num_eval_ep=8, seed=0,
+    )
+    env = MatrixGame(n_agents=2, n_actions=3, episode_limit=8, mask_trick=False)
+    init, train_block, eval_fn = make_train(cfg, env)
+    runner = init(jax.random.PRNGKey(0))
+    for _ in range(cfg.total_timesteps // (cfg.num_envs * cfg.log_interval)):
+        runner, metrics = train_block(runner)
+    out = eval_fn(runner.actor_params, jax.random.PRNGKey(1))
+    assert float(out["eval/ep_reward"]) > 7.0, dict(out)

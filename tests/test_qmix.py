@@ -62,3 +62,35 @@ def test_qmix_learns_matrix_game():
     out = eval_fn(runner.params, jax.random.PRNGKey(1))
     assert float(out["eval/ep_reward"]) > 7.2, dict(out)
     assert float(runner.num_updates) > 100
+
+
+def test_qmix_memefficient_learns():
+    cfg = QMIXConfig(
+        env_type="matrix", num_envs=8, buffer_size=512,
+        total_timesteps=40_000, train_freq=1, batch_size=16,
+        learning_rate=3e-3, exploration_fraction=0.3, hidden_dim=32,
+        hyper_dim=32, embed_dim=16, polyak=0.05, log_interval=100,
+        num_eval_ep=8, seed=0, memefficient=True,
+    )
+    env = MatrixGame(n_agents=2, n_actions=3, episode_limit=8, mask_trick=False)
+    init, train_block, eval_fn = make_train(cfg, env)
+    runner = init(jax.random.PRNGKey(0))
+    # memefficient ring must not store next_* streams
+    assert "next_obs" not in runner.ring.data
+    for _ in range(cfg.total_timesteps // (cfg.num_envs * cfg.log_interval)):
+        runner, metrics = train_block(runner)
+    out = eval_fn(runner.params, jax.random.PRNGKey(1))
+    assert float(out["eval/ep_reward"]) > 7.2, dict(out)
+
+
+def test_qmix_normalize_reward_runs():
+    cfg = QMIXConfig(
+        env_type="matrix", num_envs=8, buffer_size=128,
+        total_timesteps=3000, train_freq=1, batch_size=8,
+        log_interval=100, seed=0, normalize_reward=True,
+    )
+    env = MatrixGame(n_agents=2, n_actions=3, episode_limit=8)
+    init, train_block, eval_fn = make_train(cfg, env)
+    runner = init(jax.random.PRNGKey(0))
+    runner, metrics = train_block(runner)
+    assert np.isfinite(float(metrics["train/loss"]))
