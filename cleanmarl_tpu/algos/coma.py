@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass
+from functools import partial
 from typing import Any
 
 import chex
@@ -330,7 +331,7 @@ def make_train(cfg: COMAConfig, env=None):
         metrics["rollout/epsilon"] = epsilon
         return runner, metrics
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=0)
     def train_block(runner: COMARunnerState):
         runner, ms = jax.lax.scan(
             rollout_and_update, runner, None, length=cfg.log_interval

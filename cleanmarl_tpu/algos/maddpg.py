@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass
+from functools import partial
 from typing import Any
 
 import chex
@@ -208,7 +209,6 @@ def make_train(cfg: MADDPGConfig, env=None):
             kc, critic_in, cfg.critic_hidden_dim, 1, cfg.critic_num_layers
         )
         env_state, ts = vec.reset(kreset)
-        z = jnp.zeros(())
         return MADDPGRunnerState(
             actor_params=actor_params,
             critic_params=critic_params,
@@ -224,9 +224,9 @@ def make_train(cfg: MADDPGConfig, env=None):
             stats=EpisodeStats.create(cfg.num_envs),
             step=jnp.zeros((), jnp.int32),
             episodes=jnp.zeros((), jnp.int32),
-            last_actor_loss=z, last_critic_loss=z,
-            last_actor_gnorm=z, last_critic_gnorm=z,
-            num_updates=z,
+            last_actor_loss=jnp.zeros(()), last_critic_loss=jnp.zeros(()),
+            last_actor_gnorm=jnp.zeros(()), last_critic_gnorm=jnp.zeros(()),
+            num_updates=jnp.zeros(()),
             key=key,
         )
 
@@ -350,7 +350,7 @@ def make_train(cfg: MADDPGConfig, env=None):
         )
         return runner, None
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=0)
     def train_block(runner: MADDPGRunnerState):
         runner, _ = jax.lax.scan(train_iter, runner, None, length=cfg.log_interval)
         metrics = {

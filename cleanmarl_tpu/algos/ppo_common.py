@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass
+from functools import partial
 from typing import Any
 
 import chex
@@ -326,7 +327,7 @@ def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
         runner, metrics = ppo_update(runner, traj, h0)
         return runner, metrics
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=0)
     def train_block(runner: PPORunnerState):
         runner, ms = jax.lax.scan(
             rollout_and_update, runner, None, length=cfg.log_interval

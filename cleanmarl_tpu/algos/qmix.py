@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass
+from functools import partial
 from typing import Any
 
 import chex
@@ -276,7 +277,7 @@ def make_train(cfg: QMIXConfig, env=None):
         )
         return runner, epsilon
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=0)
     def train_block(runner: QMIXRunnerState):
         runner, epsilons = jax.lax.scan(
             train_iter, runner, None, length=cfg.log_interval

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass
+from functools import partial
 from typing import Any
 
 import chex
@@ -275,7 +276,7 @@ def make_train(cfg: RecurrentQConfig, env=None):
         )
         return runner, epsilon
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=0)
     def train_block(runner: RecQRunnerState):
         runner, epsilons = jax.lax.scan(
             train_iter, runner, None, length=cfg.log_interval

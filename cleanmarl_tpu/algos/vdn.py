@@ -227,7 +227,7 @@ def make_train(cfg: VDNConfig, env=None):
         )
         return runner, epsilon
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=0)
     def train_block(runner: VDNRunnerState):
         runner, epsilons = jax.lax.scan(
             train_iter, runner, None, length=cfg.log_interval

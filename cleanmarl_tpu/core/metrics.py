@@ -26,11 +26,14 @@ class EpisodeStats:
 
     @staticmethod
     def create(num_envs: int) -> "EpisodeStats":
-        z = jnp.zeros(())
+        # distinct buffers per field — aliased leaves break donation
         return EpisodeStats(
             ep_ret=jnp.zeros((num_envs,)),
             ep_len=jnp.zeros((num_envs,)),
-            ret_sum=z, len_sum=z, won_sum=z, count=z,
+            ret_sum=jnp.zeros(()),
+            len_sum=jnp.zeros(()),
+            won_sum=jnp.zeros(()),
+            count=jnp.zeros(()),
         )
 
     def step(self, reward, ended, won) -> "EpisodeStats":
@@ -49,8 +52,11 @@ class EpisodeStats:
         return new
 
     def flush(self) -> "EpisodeStats":
-        z = jnp.zeros(())
-        return self.replace(ret_sum=z, len_sum=z, won_sum=z, count=z)
+        # distinct buffers per field — aliased leaves break donation
+        return self.replace(
+            ret_sum=jnp.zeros(()), len_sum=jnp.zeros(()),
+            won_sum=jnp.zeros(()), count=jnp.zeros(()),
+        )
 
     def rollout_metrics(self) -> Dict[str, chex.Array]:
         denom = jnp.maximum(self.count, 1.0)

@@ -21,9 +21,12 @@ def test_mappo_block_runs_sharded():
     cfg = PPOConfig(env_type="matrix", num_envs=16, total_timesteps=4096,
                     log_interval=2, seed=0)
     init, train_block, eval_fn, meta = make_mappo(cfg, env)
+    # two independent runners: train_block donates its input, and
+    # device_put may alias the source buffer on the origin device
     runner = init(jax.random.PRNGKey(0))
     mesh = make_mesh()
-    sharded = shard_runner(runner, mesh, sharded_dims={cfg.num_envs})
+    sharded = shard_runner(init(jax.random.PRNGKey(0)), mesh,
+                           sharded_dims={cfg.num_envs})
     # env-batch leaves sharded over data, params replicated
     obs_sh = sharded.obs.sharding
     assert obs_sh.spec == jax.sharding.PartitionSpec("data")
