@@ -25,7 +25,7 @@ def main():
     from cleanmarl_tpu.algos.mappo import make_train
     from cleanmarl_tpu.algos.ppo_common import PPOConfig
 
-    num_envs = 1024
+    num_envs = 16384   # sweep: 1024→3.2M, 4096→4.5M, 16384→5.2M steps/s
     log_interval = 10
     cfg = PPOConfig(
         env_type="mpe",

@@ -1,4 +1,4 @@
-"""Pure-JAX SMAClite-class micro-combat (SMAC-style marine maps).
+"""Pure-JAX SMAClite-class micro-combat (SMAC-style maps).
 
 The reference trains its north-star config on SMAClite's ``3m`` map
 through ``SMACliteWrapper`` (/root/reference/cleanmarl/env/
@@ -9,34 +9,40 @@ SMAC interface contract the wrapper exposes:
 
 - **Actions** (n_actions = 6 + n_enemies): 0 no-op (dead agents only),
   1 stop, 2/3/4/5 move north/south/east/west by ``MOVE_AMOUNT``,
-  6+j attack enemy j.
+  6+j attack enemy j. An attack order out of the unit's true weapon
+  range moves the unit toward its target instead (SC2 attack-move), so
+  melee units close distance automatically.
 - **Availability masks**: dead → no-op only; alive → stop + in-bounds
-  moves + attack j iff enemy j alive and within ``SHOOT_RANGE``
+  moves + attack j iff enemy j alive and within ``ORDER_RANGE``
   (smaclite_wrapper.py:45-46 forwards these to the learner).
-- **Combat**: an attacking unit whose cooldown has elapsed deals
-  ``damage`` to its target and resets its cooldown; the scripted enemy
-  team focus-fires the nearest living agent in range, closing distance
-  otherwise (SMAC's attack-move bot).
-- **Reward** (team scalar): damage dealt + ``REWARD_KILL`` per enemy
-  death + ``REWARD_WIN`` on wiping the enemy team, normalized so the
-  maximum episode return is ``REWARD_SCALE`` (SMAC's
+- **Combat**: a firing unit whose cooldown has elapsed deals its
+  type's damage (shields absorb first; Protoss shields regenerate
+  +2/step when not hit); the scripted enemy team focus-fires the
+  nearest living agent, closing distance otherwise (SMAC's bot).
+- **Reward** (team scalar): damage dealt (hp + shield) + ``REWARD_KILL``
+  per enemy death + ``REWARD_WIN`` on wiping the enemy team, normalized
+  so the maximum episode return is ``REWARD_SCALE`` (SMAC's
   reward_scale_rate=20 convention).
-- **Obs** (per agent, SMAC layout, 30 dims for 3m): move availability
-  (4) ‖ per-enemy [attackable, dist/sight, Δx/sight, Δy/sight, hp%]
-  ‖ per-ally [visible, dist/sight, Δx/sight, Δy/sight, hp%] ‖ own hp%.
-  Dead agents observe zeros.
-- **State** (SMAC layout, 48 dims for 3m): per-ally
-  [hp%, cooldown/max, Δx, Δy to map center] ‖ per-enemy [hp%, Δx, Δy]
-  ‖ one-hot of every agent's last action.
+- **Obs** (per agent, SMAC layout): move availability (4) ‖ per-enemy
+  [attackable, dist/sight, Δx/sight, Δy/sight, hp% (, shield%)(, type
+  one-hot)] ‖ per-ally [visible, dist, Δx, Δy, hp% (, shield%)(, type)]
+  ‖ own [hp% (, shield%)(, type)]. Shield features appear iff the map
+  has Protoss units; type bits iff it mixes unit types — so marine
+  maps keep the classic dims (30 for 3m). Dead agents observe zeros.
+- **State** (SMAC layout): per-ally [hp%, cooldown/max, Δx, Δy
+  (, shield%)(, type)] ‖ per-enemy [hp%, Δx, Δy (, shield%)(, type)] ‖
+  one-hot of every agent's last action (48 dims for 3m).
 - **battle_won** in the info dict (smaclite_wrapper drives the
   reference's rollout/eval battle_won scalars, vdn.py:347-352).
 
-Maps: any homogeneous marine matchup ``{n}m`` (3m, 8m, 25m) or
-``{n}m_vs_{m}m`` (5m_vs_6m, 10m_vs_11m).
+Maps: marine matchups ``{n}m`` / ``{n}m_vs_{m}m`` (3m, 8m, 5m_vs_6m)
+and Protoss mixes ``{a}s{b}z`` (2s3z, 3s5z — stalkers+zealots,
+mirrored teams).
 """
 from __future__ import annotations
 
 import re
+from typing import List, Tuple
 
 import chex
 import jax
@@ -45,17 +51,30 @@ import jax.numpy as jnp
 from cleanmarl_tpu.envs.base import Environment
 from cleanmarl_tpu.types import TimeStep
 
-# marine stats (SMAC unit data)
-MAX_HP = 45.0
-DAMAGE = 6.0
-COOLDOWN = 1.0        # env steps between shots (SMAC step ≈ weapon period)
-SHOOT_RANGE = 6.0
+# unit stat table (hp, shield, damage per attack, cooldown in env steps,
+# weapon range) — SMAC unit data mapped onto the one-attack-per-step
+# timescale used here
+UNIT_TYPES = {
+    "marine":  dict(hp=45.0,  shield=0.0,  dmg=6.0,  cd=1.0, rng=6.0),
+    "stalker": dict(hp=80.0,  shield=80.0, dmg=13.0, cd=2.0, rng=6.0),
+    "zealot":  dict(hp=100.0, shield=50.0, dmg=16.0, cd=1.0, rng=1.5),
+}
+TYPE_ORDER = ("marine", "stalker", "zealot")
+
+ORDER_RANGE = 6.0     # attack-order availability radius (SMAC shoot range)
 SIGHT_RANGE = 9.0
 MOVE_AMOUNT = 2.0
 MAP_SIZE = 32.0
 REWARD_KILL = 10.0
 REWARD_WIN = 200.0
 REWARD_SCALE = 20.0
+SHIELD_REGEN = 2.0
+
+# kept for external use/tests (marine baseline)
+MAX_HP = UNIT_TYPES["marine"]["hp"]
+DAMAGE = UNIT_TYPES["marine"]["dmg"]
+COOLDOWN = UNIT_TYPES["marine"]["cd"]
+SHOOT_RANGE = UNIT_TYPES["marine"]["rng"]
 
 # action layout
 N_FIXED_ACTIONS = 6   # no-op, stop, N, S, E, W
@@ -66,25 +85,81 @@ MOVE_DIRS = jnp.array([[0.0, 1.0], [0.0, -1.0], [1.0, 0.0], [-1.0, 0.0]])
 class SmacState:
     ally_pos: chex.Array     # (A, 2)
     ally_hp: chex.Array      # (A,)
+    ally_shield: chex.Array  # (A,)
     ally_cd: chex.Array      # (A,)
     enemy_pos: chex.Array    # (E, 2)
     enemy_hp: chex.Array     # (E,)
+    enemy_shield: chex.Array # (E,)
     enemy_cd: chex.Array     # (E,)
     last_action: chex.Array  # (A,) int32
     t: chex.Array            # () int32
 
 
+def _stat(types: List[str], key: str) -> chex.Array:
+    return jnp.array([UNIT_TYPES[t][key] for t in types], jnp.float32)
+
+
 class MicroCombat(Environment):
-    def __init__(self, n_allies: int, n_enemies: int, time_limit: int = 150):
-        self.n_agents = n_allies
-        self.n_enemies = n_enemies
+    def __init__(
+        self,
+        ally_types,
+        enemy_types,
+        time_limit: int = 150,
+    ):
+        # ints = marine counts (the original homogeneous constructor)
+        if isinstance(ally_types, int):
+            ally_types = ["marine"] * ally_types
+        if isinstance(enemy_types, int):
+            enemy_types = ["marine"] * enemy_types
+        self.ally_types = list(ally_types)
+        self.enemy_types = list(enemy_types)
+        self.n_agents = len(ally_types)
+        self.n_enemies = len(enemy_types)
         self.episode_limit = time_limit
-        self.n_actions = N_FIXED_ACTIONS + n_enemies
-        # SMAC obs layout: move(4) + enemies*5 + allies*5 + own(1)
-        self.obs_dim = 4 + n_enemies * 5 + (n_allies - 1) * 5 + 1
-        # SMAC state layout: allies*4 + enemies*3 + last actions one-hot
-        self.state_dim = n_allies * 4 + n_enemies * 3 + n_allies * self.n_actions
-        max_return = n_enemies * (MAX_HP + REWARD_KILL) + REWARD_WIN
+        self.n_actions = N_FIXED_ACTIONS + self.n_enemies
+
+        ally_types, enemy_types = self.ally_types, self.enemy_types
+        self.a_max_hp = _stat(ally_types, "hp")
+        self.a_max_sh = _stat(ally_types, "shield")
+        self.a_dmg = _stat(ally_types, "dmg")
+        self.a_cd = _stat(ally_types, "cd")
+        self.a_rng = _stat(ally_types, "rng")
+        self.e_max_hp = _stat(enemy_types, "hp")
+        self.e_max_sh = _stat(enemy_types, "shield")
+        self.e_dmg = _stat(enemy_types, "dmg")
+        self.e_cd = _stat(enemy_types, "cd")
+        self.e_rng = _stat(enemy_types, "rng")
+
+        all_types = set(ally_types) | set(enemy_types)
+        self.has_shields = any(UNIT_TYPES[t]["shield"] > 0 for t in all_types)
+        self.type_list = [t for t in TYPE_ORDER if t in all_types]
+        self.type_bits = len(self.type_list) if len(self.type_list) > 1 else 0
+        self.a_type_oh = jnp.array(
+            [[1.0 if t == tt else 0.0 for tt in self.type_list[: self.type_bits]]
+             for t in ally_types], jnp.float32,
+        ).reshape(self.n_agents, self.type_bits)
+        self.e_type_oh = jnp.array(
+            [[1.0 if t == tt else 0.0 for tt in self.type_list[: self.type_bits]]
+             for t in enemy_types], jnp.float32,
+        ).reshape(self.n_enemies, self.type_bits)
+
+        sh = 1 if self.has_shields else 0
+        tb = self.type_bits
+        self._unit_feat = 5 + sh + tb       # per-enemy / per-ally obs feats
+        self.obs_dim = (
+            4
+            + self.n_enemies * self._unit_feat
+            + (self.n_agents - 1) * self._unit_feat
+            + 1 + sh + tb                   # own feats
+        )
+        self.state_dim = (
+            self.n_agents * (4 + sh + tb)
+            + self.n_enemies * (3 + sh + tb)
+            + self.n_agents * self.n_actions
+        )
+        max_return = float(
+            jnp.sum(self.e_max_hp + self.e_max_sh) + self.n_enemies * REWARD_KILL
+        ) + REWARD_WIN
         self.reward_scale = REWARD_SCALE / max_return
 
     # ------------------------------------------------------------------
@@ -103,10 +178,12 @@ class MicroCombat(Environment):
         )
         s = SmacState(
             ally_pos=ally_base + jax.random.uniform(k1, (self.n_agents, 2), minval=-1.0, maxval=1.0),
-            ally_hp=jnp.full((self.n_agents,), MAX_HP),
+            ally_hp=self.a_max_hp,
+            ally_shield=self.a_max_sh,
             ally_cd=jnp.zeros((self.n_agents,)),
             enemy_pos=enemy_base + jax.random.uniform(k2, (self.n_enemies, 2), minval=-1.0, maxval=1.0),
-            enemy_hp=jnp.full((self.n_enemies,), MAX_HP),
+            enemy_hp=self.e_max_hp,
+            enemy_shield=self.e_max_sh,
             enemy_cd=jnp.zeros((self.n_enemies,)),
             last_action=jnp.zeros((self.n_agents,), jnp.int32),
             t=jnp.zeros((), jnp.int32),
@@ -119,17 +196,32 @@ class MicroCombat(Environment):
         enemy_alive = s.enemy_hp > 0.0
         noop = jnp.logical_not(alive)[:, None]                       # (A,1)
         stop = alive[:, None]
-        # moves available while alive and in bounds after the move
         cand = s.ally_pos[:, None, :] + MOVE_DIRS[None] * MOVE_AMOUNT  # (A,4,2)
         in_bounds = jnp.all((cand >= 0.5) & (cand <= MAP_SIZE - 0.5), axis=-1)
         moves = in_bounds & alive[:, None]
         dist = jnp.linalg.norm(
             s.ally_pos[:, None, :] - s.enemy_pos[None, :, :], axis=-1
         )                                                            # (A,E)
-        attacks = (dist <= SHOOT_RANGE) & enemy_alive[None, :] & alive[:, None]
+        attacks = (dist <= ORDER_RANGE) & enemy_alive[None, :] & alive[:, None]
         return jnp.concatenate([noop, stop, moves, attacks], axis=-1)
 
     # ------------------------------------------------------------------
+    def _unit_obs_feats(self, vis, dist, delta, hp, max_hp, shield, max_sh, type_oh):
+        """Shared per-unit observation features (..., U, feat)."""
+        feats = [
+            jnp.where(vis, dist / SIGHT_RANGE, 0.0)[..., None],
+            jnp.where(vis[..., None], delta / SIGHT_RANGE, 0.0),
+            jnp.where(vis, hp / max_hp, 0.0)[..., None],
+        ]
+        if self.has_shields:
+            sh_pct = jnp.where(max_sh > 0, shield / jnp.maximum(max_sh, 1.0), 0.0)
+            feats.append(jnp.where(vis, sh_pct, 0.0)[..., None])
+        if self.type_bits:
+            feats.append(
+                jnp.where(vis[..., None], jnp.broadcast_to(type_oh, vis.shape + (self.type_bits,)), 0.0)
+            )
+        return jnp.concatenate(feats, axis=-1)
+
     def _obs(self, s: SmacState) -> chex.Array:
         alive = s.ally_hp > 0.0
         enemy_alive = s.enemy_hp > 0.0
@@ -143,12 +235,15 @@ class MicroCombat(Environment):
         enemy_feats = jnp.concatenate(
             [
                 atk[..., None],
-                jnp.where(vis_e, dist_e / SIGHT_RANGE, 0.0)[..., None],
-                jnp.where(vis_e[..., None], delta_e / SIGHT_RANGE, 0.0),
-                jnp.where(vis_e, s.enemy_hp[None, :] / MAX_HP, 0.0)[..., None],
+                self._unit_obs_feats(
+                    vis_e, dist_e, delta_e,
+                    s.enemy_hp[None, :], self.e_max_hp[None, :],
+                    s.enemy_shield[None, :], self.e_max_sh[None, :],
+                    self.e_type_oh[None, :, :],
+                ),
             ],
             axis=-1,
-        ).reshape(self.n_agents, -1)                                 # (A,E*5)
+        ).reshape(self.n_agents, -1)
 
         delta_a = s.ally_pos[None, :, :] - s.ally_pos[:, None, :]    # (A,A,2)
         dist_a = jnp.linalg.norm(delta_a, axis=-1)
@@ -156,13 +251,15 @@ class MicroCombat(Environment):
         ally_feats_full = jnp.concatenate(
             [
                 vis_a[..., None].astype(jnp.float32),
-                jnp.where(vis_a, dist_a / SIGHT_RANGE, 0.0)[..., None],
-                jnp.where(vis_a[..., None], delta_a / SIGHT_RANGE, 0.0),
-                jnp.where(vis_a, s.ally_hp[None, :] / MAX_HP, 0.0)[..., None],
+                self._unit_obs_feats(
+                    vis_a, dist_a, delta_a,
+                    s.ally_hp[None, :], self.a_max_hp[None, :],
+                    s.ally_shield[None, :], self.a_max_sh[None, :],
+                    self.a_type_oh[None, :, :],
+                ),
             ],
             axis=-1,
-        )                                                            # (A,A,5)
-        # drop self row per agent
+        )                                                            # (A,A,f)
         idx = jnp.arange(self.n_agents)
         order = jax.vmap(
             lambda i: jnp.delete(idx, i, assume_unique_indices=True)
@@ -171,30 +268,50 @@ class MicroCombat(Environment):
             ally_feats_full, order
         ).reshape(self.n_agents, -1)
 
-        own = (s.ally_hp / MAX_HP)[:, None]
-        obs = jnp.concatenate([move_feats, enemy_feats, ally_feats, own], axis=-1)
+        own = [(s.ally_hp / self.a_max_hp)[:, None]]
+        if self.has_shields:
+            own.append(
+                jnp.where(
+                    self.a_max_sh > 0,
+                    s.ally_shield / jnp.maximum(self.a_max_sh, 1.0),
+                    0.0,
+                )[:, None]
+            )
+        if self.type_bits:
+            own.append(self.a_type_oh)
+        obs = jnp.concatenate([move_feats, enemy_feats, ally_feats] + own, axis=-1)
         return jnp.where(alive[:, None], obs, 0.0)  # dead agents see zeros
 
     # ------------------------------------------------------------------
     def _state(self, s: SmacState) -> chex.Array:
         center = jnp.array([MAP_SIZE / 2.0, MAP_SIZE / 2.0])
-        ally = jnp.concatenate(
-            [
-                (s.ally_hp / MAX_HP)[:, None],
-                (s.ally_cd / COOLDOWN)[:, None],
-                (s.ally_pos - center) / (MAP_SIZE / 2.0),
-            ],
-            axis=-1,
-        ).reshape(-1)
-        enemy = jnp.concatenate(
-            [
-                (s.enemy_hp / MAX_HP)[:, None],
-                (s.enemy_pos - center) / (MAP_SIZE / 2.0),
-            ],
-            axis=-1,
-        ).reshape(-1)
+        ally = [
+            (s.ally_hp / self.a_max_hp)[:, None],
+            (s.ally_cd / self.a_cd)[:, None],
+            (s.ally_pos - center) / (MAP_SIZE / 2.0),
+        ]
+        enemy = [
+            (s.enemy_hp / self.e_max_hp)[:, None],
+            (s.enemy_pos - center) / (MAP_SIZE / 2.0),
+        ]
+        if self.has_shields:
+            ally.append(
+                jnp.where(self.a_max_sh > 0,
+                          s.ally_shield / jnp.maximum(self.a_max_sh, 1.0), 0.0)[:, None]
+            )
+            enemy.append(
+                jnp.where(self.e_max_sh > 0,
+                          s.enemy_shield / jnp.maximum(self.e_max_sh, 1.0), 0.0)[:, None]
+            )
+        if self.type_bits:
+            ally.append(self.a_type_oh)
+            enemy.append(self.e_type_oh)
         last = jax.nn.one_hot(s.last_action, self.n_actions).reshape(-1)
-        return jnp.concatenate([ally, enemy, last])
+        return jnp.concatenate(
+            [jnp.concatenate(ally, axis=-1).reshape(-1),
+             jnp.concatenate(enemy, axis=-1).reshape(-1),
+             last]
+        )
 
     def _timestep(self, s, reward, done, truncated, won):
         return TimeStep(
@@ -208,35 +325,63 @@ class MicroCombat(Environment):
         )
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _apply_damage(hp, shield, dmg):
+        """Shields absorb first; returns (hp', shield', total damage)."""
+        absorbed = jnp.minimum(shield, dmg)
+        shield2 = shield - absorbed
+        spill = dmg - absorbed
+        hp2 = jnp.clip(hp - spill, 0.0, None)
+        dealt = (shield - shield2) + (hp - hp2)
+        return hp2, shield2, dealt
+
     def _step(self, s: SmacState, actions, key):
         alive = s.ally_hp > 0.0
         enemy_alive = s.enemy_hp > 0.0
         actions = jnp.where(alive, actions, 0)
 
-        # ---- movement --------------------------------------------------
+        # ---- ally movement (explicit moves + attack-move) --------------
         is_move = (actions >= 2) & (actions < N_FIXED_ACTIONS)
         dir_idx = jnp.clip(actions - 2, 0, 3)
         step_vec = MOVE_DIRS[dir_idx] * MOVE_AMOUNT * is_move[:, None]
-        ally_pos = jnp.clip(s.ally_pos + step_vec, 0.5, MAP_SIZE - 0.5)
 
-        # ---- ally attacks ---------------------------------------------
         is_attack = actions >= N_FIXED_ACTIONS
         target = jnp.clip(actions - N_FIXED_ACTIONS, 0, self.n_enemies - 1)
-        dist = jnp.linalg.norm(
-            ally_pos[:, None, :] - s.enemy_pos[None, :, :], axis=-1
-        )
-        in_range = jnp.take_along_axis(dist, target[:, None], axis=1)[:, 0] <= SHOOT_RANGE
-        can_fire = is_attack & alive & (s.ally_cd <= 0.0) & in_range \
-            & jnp.take_along_axis(enemy_alive[None, :].repeat(self.n_agents, 0), target[:, None], axis=1)[:, 0]
-        dmg_out = jnp.zeros((self.n_enemies,)).at[target].add(
-            jnp.where(can_fire, DAMAGE, 0.0)
-        )
-        ally_cd = jnp.where(can_fire, COOLDOWN, jnp.maximum(s.ally_cd - 1.0, 0.0))
+        tgt_pos = s.enemy_pos[target]
+        to_tgt = tgt_pos - s.ally_pos
+        tgt_dist = jnp.linalg.norm(to_tgt, axis=-1)
+        out_of_range = tgt_dist > self.a_rng
+        # attack order out of weapon range → close distance (attack-move)
+        approach = (
+            is_attack & out_of_range & alive
+        )[:, None] * to_tgt / jnp.maximum(tgt_dist, 1e-6)[:, None] * MOVE_AMOUNT
+        ally_pos = jnp.clip(s.ally_pos + step_vec + approach, 0.5, MAP_SIZE - 0.5)
 
-        hp_before = s.enemy_hp
-        enemy_hp = jnp.clip(hp_before - dmg_out, 0.0, MAX_HP)
-        damage_dealt = jnp.sum(hp_before - enemy_hp)
-        kills = jnp.sum(((hp_before > 0.0) & (enemy_hp <= 0.0)).astype(jnp.float32))
+        # ---- ally attacks ---------------------------------------------
+        dist_after = jnp.linalg.norm(ally_pos - s.enemy_pos[target], axis=-1)
+        tgt_alive = s.enemy_hp[target] > 0.0
+        can_fire = (
+            is_attack & alive & (s.ally_cd <= 0.0)
+            & (dist_after <= self.a_rng) & tgt_alive
+        )
+        dmg_out = jnp.zeros((self.n_enemies,)).at[target].add(
+            jnp.where(can_fire, self.a_dmg, 0.0)
+        )
+        ally_cd = jnp.where(can_fire, self.a_cd, jnp.maximum(s.ally_cd - 1.0, 0.0))
+
+        enemy_hp, enemy_shield, damage_dealt_vec = self._apply_damage(
+            s.enemy_hp, s.enemy_shield, dmg_out
+        )
+        damage_dealt = jnp.sum(damage_dealt_vec)
+        kills = jnp.sum(
+            ((s.enemy_hp > 0.0) & (enemy_hp <= 0.0)).astype(jnp.float32)
+        )
+        # shield regen for undamaged live Protoss enemies
+        enemy_shield = jnp.where(
+            (dmg_out <= 0.0) & (enemy_hp > 0.0),
+            jnp.minimum(enemy_shield + SHIELD_REGEN, self.e_max_sh),
+            enemy_shield,
+        )
 
         # ---- scripted enemy team: focus nearest, close distance -------
         enemy_alive2 = enemy_hp > 0.0
@@ -247,21 +392,27 @@ class MicroCombat(Environment):
         nearest = jnp.argmin(dist_masked, axis=-1)                   # (E,)
         nearest_dist = jnp.min(dist_masked, axis=-1)
         any_target = jnp.isfinite(nearest_dist)
-        fire = enemy_alive2 & any_target & (nearest_dist <= SHOOT_RANGE) & (s.enemy_cd <= 0.0)
+        fire = enemy_alive2 & any_target & (nearest_dist <= self.e_rng) & (s.enemy_cd <= 0.0)
         dmg_in = jnp.zeros((self.n_agents,)).at[nearest].add(
-            jnp.where(fire, DAMAGE, 0.0)
+            jnp.where(fire, self.e_dmg, 0.0)
         )
-        enemy_cd = jnp.where(fire, COOLDOWN, jnp.maximum(s.enemy_cd - 1.0, 0.0))
-        # move toward nearest agent when out of range
-        tgt_pos = ally_pos[nearest]
-        to_tgt = tgt_pos - s.enemy_pos
-        norm = jnp.linalg.norm(to_tgt, axis=-1, keepdims=True) + 1e-8
-        advance = enemy_alive2 & any_target & (nearest_dist > SHOOT_RANGE)
+        enemy_cd = jnp.where(fire, self.e_cd, jnp.maximum(s.enemy_cd - 1.0, 0.0))
+        enemy_tgt = ally_pos[nearest]
+        to_ally = enemy_tgt - s.enemy_pos
+        norm = jnp.linalg.norm(to_ally, axis=-1, keepdims=True) + 1e-8
+        advance = enemy_alive2 & any_target & (nearest_dist > self.e_rng)
         enemy_pos = jnp.clip(
-            s.enemy_pos + to_tgt / norm * MOVE_AMOUNT * advance[:, None],
+            s.enemy_pos + to_ally / norm * MOVE_AMOUNT * advance[:, None],
             0.5, MAP_SIZE - 0.5,
         )
-        ally_hp = jnp.clip(s.ally_hp - dmg_in, 0.0, MAX_HP)
+        ally_hp, ally_shield, _ = self._apply_damage(
+            s.ally_hp, s.ally_shield, dmg_in
+        )
+        ally_shield = jnp.where(
+            (dmg_in <= 0.0) & (ally_hp > 0.0),
+            jnp.minimum(ally_shield + SHIELD_REGEN, self.a_max_sh),
+            ally_shield,
+        )
 
         # ---- termination / reward -------------------------------------
         t2 = s.t + 1
@@ -279,9 +430,11 @@ class MicroCombat(Environment):
         s2 = SmacState(
             ally_pos=ally_pos,
             ally_hp=ally_hp,
+            ally_shield=ally_shield,
             ally_cd=ally_cd,
             enemy_pos=enemy_pos,
             enemy_hp=enemy_hp,
+            enemy_shield=enemy_shield,
             enemy_cd=enemy_cd,
             last_action=actions,
             t=t2,
@@ -289,15 +442,23 @@ class MicroCombat(Environment):
         return s2, self._timestep(s2, reward, done, truncated, won)
 
 
+def _combat(n_allies: int, n_enemies: int, **kw) -> MicroCombat:
+    return MicroCombat(["marine"] * n_allies, ["marine"] * n_enemies, **kw)
+
+
 def make(map_name: str, time_limit: int = 150, **kwargs) -> Environment:
     m = re.fullmatch(r"(\d+)m", map_name)
     if m:
         n = int(m.group(1))
-        return MicroCombat(n, n, time_limit=time_limit)
+        return _combat(n, n, time_limit=time_limit)
     m = re.fullmatch(r"(\d+)m_vs_(\d+)m", map_name)
     if m:
-        return MicroCombat(int(m.group(1)), int(m.group(2)), time_limit=time_limit)
+        return _combat(int(m.group(1)), int(m.group(2)), time_limit=time_limit)
+    m = re.fullmatch(r"(\d+)s(\d+)z", map_name)
+    if m:
+        types = ["stalker"] * int(m.group(1)) + ["zealot"] * int(m.group(2))
+        return MicroCombat(types, list(types), time_limit=time_limit)
     raise ValueError(
-        f"unknown smaclite map {map_name!r}; supported: Nm (e.g. 3m, 8m) "
-        f"and Nm_vs_Mm (e.g. 5m_vs_6m)"
+        f"unknown smaclite map {map_name!r}; supported: Nm (e.g. 3m, 8m), "
+        f"Nm_vs_Mm (e.g. 5m_vs_6m), and NsMz (e.g. 2s3z, 3s5z)"
     )

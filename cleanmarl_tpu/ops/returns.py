@@ -29,8 +29,21 @@ def lambda_returns(
     bootstrap_value: chex.Array,  # (...) V(o_T) at the rollout cut
     gamma: float,
     lam: float,
+    use_pallas: bool | None = None,
 ) -> chex.Array:
-    """Returns G (T, ...). Time axis is leading."""
+    """Returns G (T, ...). Time axis is leading.
+
+    On TPU the recursion runs as a single Pallas kernel per 128-lane
+    batch tile (ops/pallas_returns.py) instead of T chained scan steps;
+    pass ``use_pallas=False`` to force the lax.scan form."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from cleanmarl_tpu.ops.pallas_returns import lambda_returns_pallas
+
+        return lambda_returns_pallas(
+            rewards, ended, values, bootstrap_value, gamma, lam
+        )
     ended_f = ended.astype(values.dtype)
     next_values = jnp.concatenate([values[1:], bootstrap_value[None]], axis=0)
 

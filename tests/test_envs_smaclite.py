@@ -27,10 +27,10 @@ def test_map_parsing():
     assert env.n_agents == 5 and env.n_enemies == 6
     assert env.n_actions == 6 + 6
     try:
-        smaclite.make("2s3z")
+        smaclite.make("1c3s5z")  # colossus not supported
         assert False, "expected ValueError"
     except ValueError as e:
-        assert "2s3z" in str(e)
+        assert "1c3s5z" in str(e)
 
 
 def test_avail_masks_at_spawn():
@@ -149,3 +149,72 @@ def test_cooldown_limits_fire_rate():
     assert float(s2.enemy_hp[0]) == MAX_HP - DAMAGE
     s3, ts3 = env.step(s2, jnp.array([6]), jax.random.PRNGKey(3))
     assert float(s3.enemy_hp[0]) == MAX_HP - 2 * DAMAGE
+
+
+def test_2s3z_heterogeneous_map():
+    env = smaclite.make("2s3z")
+    assert env.n_agents == 5 and env.n_enemies == 5
+    assert env.n_actions == 6 + 5
+    # shields + 2 type bits present: unit feat = 5+1+2 = 8
+    assert env._unit_feat == 8
+    assert env.obs_dim == 4 + 5 * 8 + 4 * 8 + (1 + 1 + 2)
+    s, ts = env.reset(jax.random.PRNGKey(0))
+    assert ts.obs.shape == (5, env.obs_dim)
+    assert ts.state.shape == (env.state_dim,)
+    # stalkers first: full shields at spawn
+    np.testing.assert_allclose(np.asarray(s.ally_shield[:2]), 80.0)
+    np.testing.assert_allclose(np.asarray(s.ally_shield[2:]), 50.0)
+
+
+def test_shields_absorb_before_hp():
+    from cleanmarl_tpu.envs.smaclite import MicroCombat as MC
+
+    env = MC(["marine"], ["stalker"], time_limit=50)
+    s, _ = env.reset(jax.random.PRNGKey(0))
+    s = s.replace(
+        ally_pos=jnp.array([[16.0, 16.0]]),
+        enemy_pos=jnp.array([[17.0, 16.0]]),
+    )
+    s2, ts = env.step(s, jnp.array([6]), jax.random.PRNGKey(1))  # attack
+    # marine dmg 6 absorbed entirely by the 80-point shield
+    assert float(s2.enemy_hp[0]) == 80.0
+    assert float(s2.enemy_shield[0]) == 74.0
+    # damage reward counts shield damage
+    assert float(ts.reward) > 0.0
+
+
+def test_shield_regen_when_unhit():
+    from cleanmarl_tpu.envs.smaclite import MicroCombat as MC
+
+    env = MC(["marine"], ["stalker"], time_limit=50)
+    s, _ = env.reset(jax.random.PRNGKey(0))
+    # damage the shield, then stop far away → regen +2/step
+    s = s.replace(
+        enemy_shield=jnp.array([10.0]),
+        ally_pos=jnp.array([[2.0, 2.0]]),
+        enemy_pos=jnp.array([[30.0, 30.0]]),
+    )
+    s2, _ = env.step(s, jnp.array([1]), jax.random.PRNGKey(1))  # stop
+    assert float(s2.enemy_shield[0]) == 12.0
+
+
+def test_zealot_attack_move_closes_distance():
+    from cleanmarl_tpu.envs.smaclite import MicroCombat as MC
+
+    env = MC(["zealot"], ["zealot"], time_limit=50)
+    s, _ = env.reset(jax.random.PRNGKey(0))
+    s = s.replace(
+        ally_pos=jnp.array([[16.0, 16.0]]),
+        enemy_pos=jnp.array([[21.0, 16.0]]),  # within order range 6, melee 1.5
+    )
+    d0 = 5.0
+    s2, ts = env.step(s, jnp.array([6]), jax.random.PRNGKey(1))
+    d1 = float(jnp.linalg.norm(s2.ally_pos[0] - s2.enemy_pos[0]))
+    assert d1 < d0  # attack order out of melee range approaches the target
+    # no damage dealt yet (still out of melee range)
+    assert float(s2.enemy_hp[0]) == 100.0 or float(s2.enemy_shield[0]) == 50.0
+
+
+def test_marine_maps_keep_classic_dims():
+    env = smaclite.make("3m")
+    assert env.obs_dim == 30 and env.state_dim == 48
