@@ -44,6 +44,7 @@ from cleanmarl_tpu.core.optim import make_optimizer
 from cleanmarl_tpu.core.schedules import linear_schedule
 from cleanmarl_tpu.envs import registry
 from cleanmarl_tpu.envs.base import VecEnv
+from cleanmarl_tpu.envs.external import as_vec
 from cleanmarl_tpu.ops.returns import lambda_returns
 
 
@@ -106,8 +107,9 @@ class COMARunnerState:
 
 def make_train(cfg: COMAConfig, env=None):
     if env is None:
-        env = registry.make(cfg.env_type, cfg.env_name, agent_ids=cfg.agent_ids)
-    vec = VecEnv(env, cfg.num_envs)
+        env = registry.make(cfg.env_type, cfg.env_name, agent_ids=cfg.agent_ids,
+                            env_family=cfg.env_family)
+    vec = as_vec(env, cfg.num_envs)
     rollout_len = cfg.rollout_len or env.episode_limit
     actor_opt = make_optimizer(cfg.optimizer, cfg.learning_rate_actor, cfg.clip_gradients)
     critic_opt = make_optimizer(cfg.optimizer, cfg.learning_rate_critic, cfg.clip_gradients)

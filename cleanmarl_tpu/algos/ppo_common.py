@@ -52,6 +52,7 @@ from cleanmarl_tpu.core.metrics import EpisodeStats
 from cleanmarl_tpu.core.optim import make_optimizer
 from cleanmarl_tpu.envs import registry
 from cleanmarl_tpu.envs.base import VecEnv
+from cleanmarl_tpu.envs.external import as_vec
 from cleanmarl_tpu.ops.returns import lambda_advantages
 
 
@@ -80,6 +81,7 @@ class PPOConfig:
     ppo_clip: float = 0.2
     entropy_coef: float = 0.001
     epochs: int = 3
+    anneal_lr: bool = False          # linear LR decay to 0 over the run
     clip_gradients: float = -1.0
     log_interval: int = 8           # rollouts per host log
     eval_steps: int = 50_000        # env transitions between evals
@@ -115,11 +117,20 @@ def masked_logits(actor_params, obs, avail):
 def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
                algo_name: str = "IPPO"):
     if env is None:
-        env = registry.make(cfg.env_type, cfg.env_name, agent_ids=cfg.agent_ids)
-    vec = VecEnv(env, cfg.num_envs)
+        env = registry.make(cfg.env_type, cfg.env_name, agent_ids=cfg.agent_ids,
+                            env_family=cfg.env_family)
+    vec = as_vec(env, cfg.num_envs)
     rollout_len = cfg.rollout_len or env.episode_limit
-    actor_opt = make_optimizer(cfg.optimizer, cfg.learning_rate_actor, cfg.clip_gradients)
-    critic_opt = make_optimizer(cfg.optimizer, cfg.learning_rate_critic, cfg.clip_gradients)
+    n_updates = (
+        cfg.epochs * (cfg.total_timesteps // (rollout_len * cfg.num_envs))
+        if cfg.anneal_lr else 0
+    )
+    actor_opt = make_optimizer(
+        cfg.optimizer, cfg.learning_rate_actor, cfg.clip_gradients, n_updates
+    )
+    critic_opt = make_optimizer(
+        cfg.optimizer, cfg.learning_rate_critic, cfg.clip_gradients, n_updates
+    )
     critic_in = env.state_dim if centralized else env.obs_dim
     H = cfg.actor_hidden_dim
 

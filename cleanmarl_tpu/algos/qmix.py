@@ -38,6 +38,7 @@ from cleanmarl_tpu.core.optim import make_optimizer
 from cleanmarl_tpu.core.schedules import linear_schedule
 from cleanmarl_tpu.envs import registry
 from cleanmarl_tpu.envs.base import VecEnv
+from cleanmarl_tpu.envs.external import as_vec
 
 
 @dataclass
@@ -99,8 +100,9 @@ class QMIXRunnerState:
 
 def make_train(cfg: QMIXConfig, env=None):
     if env is None:
-        env = registry.make(cfg.env_type, cfg.env_name, agent_ids=cfg.agent_ids)
-    vec = VecEnv(env, cfg.num_envs)
+        env = registry.make(cfg.env_type, cfg.env_name, agent_ids=cfg.agent_ids,
+                            env_family=cfg.env_family)
+    vec = as_vec(env, cfg.num_envs)
     opt = make_optimizer(cfg.optimizer, cfg.learning_rate, cfg.clip_gradients)
     eps_duration = cfg.exploration_fraction * cfg.total_timesteps
     t_max = env.episode_limit

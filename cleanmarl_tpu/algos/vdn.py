@@ -34,6 +34,7 @@ from cleanmarl_tpu.core.optim import make_optimizer
 from cleanmarl_tpu.core.schedules import linear_schedule
 from cleanmarl_tpu.envs import registry
 from cleanmarl_tpu.envs.base import VecEnv
+from cleanmarl_tpu.envs.external import as_vec
 from cleanmarl_tpu.types import Transition
 
 
@@ -95,8 +96,9 @@ def make_train(cfg: VDNConfig, env=None):
     """Build (init_fn, train_block_fn, eval_fn). ``train_block_fn`` runs
     ``cfg.log_interval`` fully-jitted iterations and returns metrics."""
     if env is None:
-        env = registry.make(cfg.env_type, cfg.env_name, agent_ids=cfg.agent_ids)
-    vec = VecEnv(env, cfg.num_envs)
+        env = registry.make(cfg.env_type, cfg.env_name, agent_ids=cfg.agent_ids,
+                            env_family=cfg.env_family)
+    vec = as_vec(env, cfg.num_envs)
     opt = make_optimizer(cfg.optimizer, cfg.learning_rate, cfg.clip_gradients)
     eff_batch = cfg.batch_size * cfg.num_envs
     eps_duration = cfg.exploration_fraction * cfg.total_timesteps

@@ -31,7 +31,9 @@ def make_evaluator(
     init_carry: Callable[[int], Any] = lambda n: (),
 ):
     """Returns eval_fn(params, key) -> dict of scalar metrics."""
-    vec = VecEnv(env, num_eval_ep, auto_reset=False)
+    from cleanmarl_tpu.envs.external import as_vec
+
+    vec = as_vec(env, num_eval_ep, auto_reset=False)
 
     def eval_fn(params, key: chex.PRNGKey):
         reset_key, key = jax.random.split(key)

@@ -14,16 +14,28 @@ from cleanmarl_tpu.envs.base import Environment, VecEnv
 from cleanmarl_tpu.envs.wrappers import AgentIDWrapper
 
 
-def make(env_type: str, env_name: str, agent_ids: bool = False, **kwargs) -> Environment:
+def make(env_type: str, env_name: str, agent_ids: bool = False,
+         env_family: str = "mpe", **kwargs):
     env_type = env_type.lower()
     if env_type == "matrix":
         from cleanmarl_tpu.envs.matrix_game import MatrixGame
 
         env = MatrixGame(**kwargs)
-    elif env_type in ("pz", "mpe"):
+    elif env_type == "mpe" or (env_type == "pz" and env_family == "mpe"):
         from cleanmarl_tpu.envs import mpe
 
         env = mpe.make(env_name, **kwargs)
+    elif env_type == "pz":
+        # real host PettingZoo env through io_callback (envs/external.py);
+        # agent_ids handled by the host wrapper, no AgentIDWrapper needed
+        from cleanmarl_tpu.envs.external import HostEnvFamily
+        from cleanmarl_tpu.envs.pettingzoo_host import PettingZooHostEnv
+
+        return HostEnvFamily(
+            lambda: PettingZooHostEnv(
+                env_family, env_name, agent_ids=agent_ids, **kwargs
+            )
+        )
     elif env_type == "smaclite":
         from cleanmarl_tpu.envs import smaclite
 

@@ -12,11 +12,11 @@ from cleanmarl_tpu.algos.ppo_common import PPOConfig
 os.makedirs("validation", exist_ok=True)
 cfg = PPOConfig(
     env_type="smaclite", env_name="3m", agent_ids=True,
-    recurrent=True, num_envs=128, rollout_len=60,
+    recurrent=True, num_envs=256, rollout_len=60,
     actor_hidden_dim=64, critic_hidden_dim=64,
     learning_rate_actor=5e-4, learning_rate_critic=5e-4,
-    entropy_coef=0.005, td_lambda=0.95, epochs=3,
-    total_timesteps=12_000_000, log_interval=4,
+    entropy_coef=0.003, td_lambda=0.95, epochs=4, anneal_lr=True,
+    total_timesteps=20_000_000, log_interval=4,
     num_eval_ep=32, seed=1, verbose=False,
 )
 init, train_block, eval_fn, meta = make_train(cfg)
