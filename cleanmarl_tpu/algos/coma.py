@@ -41,6 +41,7 @@ from cleanmarl_tpu.core.evaluation import make_evaluator
 from cleanmarl_tpu.core.logger import Logger
 from cleanmarl_tpu.core.metrics import EpisodeStats
 from cleanmarl_tpu.core.optim import make_optimizer
+from cleanmarl_tpu.core.rewards import standardize
 from cleanmarl_tpu.core.schedules import linear_schedule
 from cleanmarl_tpu.envs import registry
 from cleanmarl_tpu.envs.base import VecEnv
@@ -75,7 +76,9 @@ class COMAConfig:
     exploration_fraction: float = 750.0  # in training updates
     target_network_update_freq: int = 1  # in training updates
     polyak: float = 0.005
-    normalize_advantage: bool = False
+    normalize_reward: bool = False    # standardize batch rewards (coma.py:50)
+    normalize_advantage: bool = True  # reference default True (coma.py:52)
+    normalize_return: bool = False    # standardize critic targets (coma.py:530-533)
     clip_gradients: float = -1.0
     log_interval: int = 8
     eval_steps: int = 50_000
@@ -255,11 +258,17 @@ def make_train(cfg: COMAConfig, env=None):
         q_boot = critic_q(runner.target_critic, runner.state, runner.obs, a_boot)
         v_boot = jnp.sum(pi_boot * q_boot, axis=-1)              # (B,n)
         reward = traj["reward"]                                  # (T,B,n)
+        if cfg.normalize_reward:
+            reward = standardize(reward)                         # coma.py:149-152
         ended = jnp.broadcast_to(traj["ended"][..., None], q_taken_tgt.shape)
         returns = lambda_returns(
             reward, ended, q_taken_tgt, v_boot, cfg.gamma, lam
         )
         returns = jax.lax.stop_gradient(returns)
+        if cfg.normalize_return:
+            # agent-mean convention, critic targets only (coma.py:530-533)
+            ret_am = returns.mean(axis=-1)
+            returns = (returns - ret_am.mean()) / (ret_am.std() + 1e-8)
 
         # ---- critic ---------------------------------------------------
         def critic_loss_fn(p):

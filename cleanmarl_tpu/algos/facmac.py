@@ -39,6 +39,7 @@ from cleanmarl_tpu.core.acting import masked_argmax
 from cleanmarl_tpu.core.evaluation import make_evaluator
 from cleanmarl_tpu.core.logger import Logger
 from cleanmarl_tpu.core.metrics import EpisodeStats
+from cleanmarl_tpu.core.rewards import standardize
 from cleanmarl_tpu.core.optim import make_optimizer
 from cleanmarl_tpu.core.schedules import linear_schedule
 from cleanmarl_tpu.envs import registry
@@ -68,6 +69,7 @@ class FACMACConfig:
     hyper_dim: int = 64
     embed_dim: int = 32
     gumbel_tau: float = 1.0
+    normalize_reward: bool = False   # masked batch standardization (facmac.py:34)
     start_e: float = 0.5
     end_e: float = 0.002
     exploration_fraction: float = 750.0   # in training updates (facmac.py:66)
@@ -204,7 +206,11 @@ def make_train(cfg: FACMACConfig, env=None):
             runner.target_critic, batch["next_obs"], a_next, batch["next_state"]
         )
         ended = batch["ended"].astype(jnp.float32)
-        target = batch["reward"] + cfg.gamma * (1.0 - ended) * qtot_next
+        reward = batch["reward"]
+        if cfg.normalize_reward:
+            # masked per-sampled-batch standardization (facmac.py:225-229)
+            reward = standardize(reward, mask)
+        target = reward + cfg.gamma * (1.0 - ended) * qtot_next
 
         def critic_loss_fn(p):
             qt = q_tot(p, batch["obs"], batch["action"], batch["state"])

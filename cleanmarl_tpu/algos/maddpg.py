@@ -38,6 +38,7 @@ from cleanmarl_tpu.core.acting import masked_argmax
 from cleanmarl_tpu.core.evaluation import make_evaluator
 from cleanmarl_tpu.core.logger import Logger
 from cleanmarl_tpu.core.metrics import EpisodeStats
+from cleanmarl_tpu.core.rewards import standardize
 from cleanmarl_tpu.core.optim import make_optimizer
 from cleanmarl_tpu.envs import registry
 from cleanmarl_tpu.envs.base import VecEnv
@@ -66,6 +67,7 @@ class MADDPGConfig:
     critic_hidden_dim: int = 128
     critic_num_layers: int = 1
     gumbel_tau: float = 1.0
+    normalize_reward: bool = True    # reference default True (maddpg.py:33)
     target_network_update_freq: int = 1
     polyak: float = 0.005
     clip_gradients: float = -1.0
@@ -244,7 +246,11 @@ def make_train(cfg: MADDPGConfig, env=None):
         a_next = gumbel_softmax(k_tgt, next_logits, cfg.gumbel_tau, hard=True)
         q_next = critic_q(runner.target_critic, batch["next_state"], a_next)
         ended = batch["ended"].astype(jnp.float32)
-        target = batch["reward"] + cfg.gamma * (1.0 - ended) * q_next
+        reward = batch["reward"]
+        if cfg.normalize_reward:
+            # masked per-sampled-batch standardization (maddpg.py:178-182)
+            reward = standardize(reward, mask)
+        target = reward + cfg.gamma * (1.0 - ended) * q_next
         msum = jnp.maximum(jnp.sum(mask), 1.0)
 
         def critic_loss_fn(p):

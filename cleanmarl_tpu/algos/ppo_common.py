@@ -53,6 +53,7 @@ from cleanmarl_tpu.core.optim import make_optimizer
 from cleanmarl_tpu.envs import registry
 from cleanmarl_tpu.envs.base import VecEnv
 from cleanmarl_tpu.envs.external import as_vec
+from cleanmarl_tpu.core.rewards import standardize
 from cleanmarl_tpu.ops.returns import lambda_advantages
 
 
@@ -77,7 +78,9 @@ class PPOConfig:
     total_timesteps: int = 1_000_000
     gamma: float = 0.99
     td_lambda: float = 0.95
+    normalize_reward: bool = False   # standardize rollout rewards (ippo.py:49)
     normalize_advantage: bool = False
+    normalize_return: bool = False   # standardize critic targets (ippo.py:416-419)
     ppo_clip: float = 0.2
     entropy_coef: float = 0.001
     epochs: int = 3
@@ -258,8 +261,13 @@ def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
         vboot = critic_values(
             runner.critic_params, runner.obs, runner.state
         )  # V(o_T) of the live (post-rollout) obs
+        team_reward = traj["reward"]
+        if cfg.normalize_reward:
+            # per-batch standardization at sample time (ippo.py buffer,
+            # mappo.py:142-145)
+            team_reward = standardize(team_reward)
         reward = jnp.broadcast_to(
-            traj["reward"][..., None], values.shape
+            team_reward[..., None], values.shape
         )
         ended = jnp.broadcast_to(traj["ended"][..., None], values.shape)
         returns, adv = lambda_advantages(
@@ -269,6 +277,11 @@ def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
         adv = jax.lax.stop_gradient(adv)
         if cfg.normalize_advantage:
             adv = (adv - adv.mean()) / (adv.std() + 1e-8)
+        if cfg.normalize_return:
+            # advantages keep the raw returns; only the critic target is
+            # standardized, agent-mean convention (mappo.py:416-419)
+            ret_am = returns.mean(axis=-1)
+            returns = (returns - ret_am.mean()) / (ret_am.std() + 1e-8)
 
         def actor_loss_fn(actor_params):
             logits = actor_logits_seq(

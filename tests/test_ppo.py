@@ -122,3 +122,17 @@ def test_tbptt_gradient_cut_runs():
     runner = init(jax.random.PRNGKey(0))
     runner, metrics = train_block(runner)
     assert np.isfinite(float(metrics["train/actor_loss"]))
+
+
+def test_normalize_flags_run_and_learn():
+    """normalize_reward / normalize_advantage / normalize_return
+    (ippo.py:49-54 parity flags) keep the jitted block finite and the
+    policy still learns the matrix game."""
+    env = MatrixGame(n_agents=2, n_actions=3, episode_limit=8)
+    cfg = ppo_cfg(normalize_reward=True, normalize_advantage=True,
+                  normalize_return=True)
+    runner, eval_fn, metrics = run_to_convergence(make_ippo, cfg, env)
+    for v in metrics.values():
+        assert np.isfinite(float(v)), metrics
+    out = eval_fn(runner.actor_params, jax.random.PRNGKey(1))
+    assert float(out["eval/ep_reward"]) > 6.0, dict(out)
