@@ -7,13 +7,16 @@ fc1→GRU→head (vdn_lstm.py:83-99).
 
 Design differences from the reference, all strictly-simplifying:
 
-- **Full-episode replay instead of sequence chunks.** vdn_lstm trains
-  on fixed 10-step chunks with an 8-step gradient-free burn-in to
-  re-warm the hidden state (vdn_lstm.py:102-183, 394-403) because
-  chunks start mid-episode. Episodes here are stored whole (padded to
-  ``episode_limit`` with masks), so every hidden state is recomputed
-  exactly from t=0 — no burn-in approximation is needed. The scanned
-  loss is the dense form of vdn_lstm_jax.py:270-325.
+- **Full-episode replay by default instead of sequence chunks.**
+  vdn_lstm trains on fixed 10-step chunks with an 8-step gradient-free
+  burn-in to re-warm the hidden state (vdn_lstm.py:102-183, 394-403)
+  because chunks start mid-episode. Episodes here are stored whole
+  (padded to ``episode_limit`` with masks), so every hidden state is
+  recomputed exactly from t=0 — no burn-in approximation is needed.
+  The scanned loss is the dense form of vdn_lstm_jax.py:270-325.
+  ``--replay sequence`` switches to the reference's exact storage
+  model (buffers/sequence.py chunk ring + zero-start burn-in,
+  ``--seq_length/--burn_in``; VDN mixing only, as in the reference).
 - **TBPTT as a gradient cut, not chunked optimizer steps.**
   qmix_lstm.py:350-363 backprops+steps every ``tbptt=10`` steps,
   detaching h. ``tbptt=k`` here stops gradients through the carry
@@ -42,12 +45,14 @@ import jax.numpy as jnp
 import optax
 
 from cleanmarl_tpu.buffers.episode import EpisodeAccumulator, EpisodeBuffer
+from cleanmarl_tpu.buffers.sequence import SequenceAccumulator, SequenceBuffer
 from cleanmarl_tpu.core import networks as nets
 from cleanmarl_tpu.core.acting import eps_greedy, masked_argmax
 from cleanmarl_tpu.core.evaluation import make_evaluator
 from cleanmarl_tpu.core.logger import Logger
 from cleanmarl_tpu.core.metrics import EpisodeStats
 from cleanmarl_tpu.core.optim import make_optimizer
+from cleanmarl_tpu.core.rewards import standardize
 from cleanmarl_tpu.core.schedules import linear_schedule
 from cleanmarl_tpu.envs import registry
 from cleanmarl_tpu.envs.base import VecEnv
@@ -61,8 +66,12 @@ class RecurrentQConfig:
     env_family: str = "mpe"
     agent_ids: bool = True
     mixing: str = "vdn"              # "vdn" | "qmix"
+    replay: str = "episode"          # "episode" | "sequence" (vdn_lstm.py chunks)
+    seq_length: int = 10             # chunk length (vdn_lstm.py:29-30)
+    burn_in: int = 8                 # no-grad hidden warmup steps (vdn_lstm.py:31-32)
+    normalize_reward: bool = False   # per-sampled-batch standardize (vdn_lstm.py:33)
     num_envs: int = 16
-    buffer_size: int = 2000          # episodes
+    buffer_size: int = 2000          # episodes (or chunks when replay=sequence)
     total_timesteps: int = 1_000_000
     gamma: float = 0.99
     train_freq: int = 1              # updates every N completed episodes
@@ -112,6 +121,13 @@ class RecQRunnerState:
 
 def make_train(cfg: RecurrentQConfig, env=None):
     assert cfg.mixing in ("vdn", "qmix"), cfg.mixing
+    assert cfg.replay in ("episode", "sequence"), cfg.replay
+    if cfg.replay == "sequence":
+        # sequence-chunk replay exists only for VDN in the reference
+        # (vdn_lstm.py; qmix_lstm.py uses episode replay + TBPTT)
+        assert cfg.mixing == "vdn", "replay='sequence' supports mixing='vdn' only"
+        assert 0 <= cfg.burn_in < cfg.seq_length, (cfg.burn_in, cfg.seq_length)
+    use_seq = cfg.replay == "sequence"
     if env is None:
         env = registry.make(cfg.env_type, cfg.env_name, agent_ids=cfg.agent_ids,
                             env_family=cfg.env_family)
@@ -148,12 +164,22 @@ def make_train(cfg: RecurrentQConfig, env=None):
                 km, env.n_agents, env.state_dim, cfg.embed_dim, cfg.hyper_dim
             )
         env_state, ts = vec.reset(kreset)
+        if use_seq:
+            ring = SequenceBuffer.create(
+                cfg.buffer_size, cfg.seq_length, example_record()
+            )
+            acc = SequenceAccumulator.create(
+                cfg.num_envs, cfg.seq_length, example_record()
+            )
+        else:
+            ring = EpisodeBuffer.create(cfg.buffer_size, t_max, example_record())
+            acc = EpisodeAccumulator.create(cfg.num_envs, t_max, example_record())
         return RecQRunnerState(
             params=params,
             target_params=jax.tree.map(jnp.copy, params),
             opt_state=opt.init(params),
-            ring=EpisodeBuffer.create(cfg.buffer_size, t_max, example_record()),
-            acc=EpisodeAccumulator.create(cfg.num_envs, t_max, example_record()),
+            ring=ring,
+            acc=acc,
             env_state=env_state,
             obs=ts.obs, state=ts.state, avail=ts.avail,
             h=jnp.zeros((cfg.num_envs, env.n_agents, H)),
@@ -166,11 +192,71 @@ def make_train(cfg: RecurrentQConfig, env=None):
             key=key,
         )
 
+    def update_seq(params, target_params, opt_state, ring, key):
+        """Chunk-replay update: zero-start hidden + no-grad burn-in over
+        the first ``burn_in`` steps, per-step VDN TD loss on the rest
+        (vdn_lstm.py:392-436)."""
+        batch = ring.sample(key, cfg.batch_size)                # (B, L, ...)
+        tm = jax.tree.map(lambda x: jnp.moveaxis(x, 0, 1), batch)
+        reward = tm["reward"]
+        if cfg.normalize_reward:
+            reward = standardize(reward)                        # vdn_lstm.py:170-174
+        B, bi = cfg.batch_size, cfg.burn_in
+        h0 = jnp.zeros((B, env.n_agents, H))
+
+        # burn-in: advance target stream on next_obs and online stream
+        # on obs, no gradients (vdn_lstm.py:394-403)
+        def burn_body(carry, inp):
+            h_t, h_u = carry
+            obs, next_obs = inp
+            h_t2, _ = nets.rnn_apply(target_params["q"], h_t, next_obs)
+            h_u2, _ = nets.rnn_apply(params["q"], h_u, obs)
+            return (h_t2, h_u2), None
+
+        (h_t, h_u), _ = jax.lax.scan(
+            burn_body, (h0, h0), (tm["obs"][:bi], tm["next_obs"][:bi])
+        )
+        h_t = jax.lax.stop_gradient(h_t)
+        h_u = jax.lax.stop_gradient(h_u)
+
+        def tgt_body(h, inp):
+            next_obs, next_avail = inp
+            h2, q_next = nets.rnn_apply(target_params["q"], h, next_obs)
+            q_next = nets.masked_q(q_next, next_avail)
+            return h2, q_next.max(axis=-1)                      # (B, n)
+
+        _, q_next_max = jax.lax.scan(
+            tgt_body, h_t, (tm["next_obs"][bi:], tm["next_avail"][bi:])
+        )                                                       # (L-bi, B, n)
+        done = tm["done"][bi:].astype(jnp.float32)
+        target = reward[bi:] + cfg.gamma * (1.0 - done) * q_next_max.sum(axis=-1)
+        target = jax.lax.stop_gradient(target)
+
+        def loss_fn(p):
+            def body(h, inp):
+                obs, action = inp
+                h2, q = nets.rnn_apply(p["q"], h, obs)
+                q_taken = jnp.take_along_axis(q, action[..., None], axis=-1)[..., 0]
+                return h2, q_taken.sum(axis=-1)                 # VDN team value
+
+            _, team = jax.lax.scan(body, h_u, (tm["obs"][bi:], tm["action"][bi:]))
+            return jnp.mean(jnp.square(target - team))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        gnorm = nets.global_norm(grads)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, gnorm
+
     def update(params, target_params, opt_state, ring, key):
+        if use_seq:
+            return update_seq(params, target_params, opt_state, ring, key)
         batch, mask = ring.sample(key, cfg.batch_size)
         # time-major streams (T, B, ...)
         tm = jax.tree.map(lambda x: jnp.moveaxis(x, 0, 1), batch)
         mask_tm = jnp.moveaxis(mask, 0, 1)                      # (T, B)
+        if cfg.normalize_reward:
+            tm = {**tm, "reward": standardize(tm["reward"], mask_tm)}
         B = cfg.batch_size
         h0 = jnp.zeros((B, env.n_agents, H))
 
@@ -245,7 +331,14 @@ def make_train(cfg: RecurrentQConfig, env=None):
         step = runner.step + 1
         episodes = runner.episodes + jnp.sum(ended.astype(jnp.int32))
 
-        crossed = (episodes // cfg.train_freq) > (runner.episodes // cfg.train_freq)
+        if use_seq:
+            # vdn_lstm trains on an env-step cadence (vdn_lstm.py:383),
+            # scaled here by the vectorized env batch
+            crossed = jnp.mod(step, jnp.maximum(cfg.train_freq, 1)) == 0
+        else:
+            crossed = (episodes // cfg.train_freq) > (
+                runner.episodes // cfg.train_freq
+            )
         warm = ring.size >= cfg.batch_size
         do_update = jnp.logical_and(crossed, warm)
         params, opt_state, loss, gnorm = jax.lax.cond(
