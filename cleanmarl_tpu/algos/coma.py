@@ -59,6 +59,8 @@ class COMAConfig:
     rollout_len: int = 0              # 0 → episode_limit
     recurrent: bool = False           # GRU actor (coma_lstm.py)
     per_agent_rewards: bool = False   # un-aggregated env rewards (coma_lbf.py:255)
+    bootstrap_truncation: bool = False  # r + γQ'(s_T, a~π_ε) at time-limit
+    # truncation instead of a zero tail (coma_lbf.py:4, 557-578); FF actor only
     actor_hidden_dim: int = 64
     actor_num_layers: int = 1
     critic_hidden_dim: int = 64
@@ -120,6 +122,10 @@ def make_train(cfg: COMAConfig, env=None):
     critic_in = env.state_dim + env.obs_dim + (n - 1) * A
     lam = cfg.td_lambda if cfg.use_tdlambda else 0.0
 
+    if cfg.bootstrap_truncation:
+        # coma_lbf is feed-forward; the terminal-obs actor pass below has
+        # no hidden stream to resume for a GRU actor
+        assert not cfg.recurrent, "bootstrap_truncation requires recurrent=False"
     idx = jnp.arange(n)
     others = jax.vmap(lambda i: jnp.delete(idx, i, assume_unique_indices=True))(idx)
     H = cfg.actor_hidden_dim
@@ -225,6 +231,12 @@ def make_train(cfg: COMAConfig, env=None):
                 "obs": obs, "state": state, "avail": avail,
                 "action": actions, "reward": reward, "ended": ended,
             }
+            if cfg.bootstrap_truncation:
+                # terminal (pre-reset) timestep for the r + γQ'(s_T) patch
+                out["trunc_only"] = jnp.logical_and(ts2.truncated, ~ts2.done)
+                out["final_obs"] = final.obs
+                out["final_state"] = final.state
+                out["final_avail"] = final.avail.astype(jnp.bool_)
             return (env_state, ts2.obs, ts2.state, ts2.avail, h2, stats, key), out
 
         key, scan_key = jax.random.split(runner.key)
@@ -260,6 +272,31 @@ def make_train(cfg: COMAConfig, env=None):
         reward = traj["reward"]                                  # (T,B,n)
         if cfg.normalize_reward:
             reward = standardize(reward)                         # coma.py:149-152
+        if cfg.bootstrap_truncation:
+            # G at a time-limit cut = r + γ·Q'(s_T, a~π_ε) instead of r
+            # (coma_lbf.py:557-578); folding the bootstrap into the
+            # reward at ended steps is the same recursion
+            key, k_boot = jax.random.split(runner.key)
+            runner = runner.replace(key=key)
+            pi_last = actor_probs(
+                runner.actor_params, traj["final_obs"], traj["final_avail"], epsilon
+            )                                                    # (T,B,n,A)
+            keys = jax.random.split(
+                k_boot, pi_last.shape[0] * pi_last.shape[1] * n
+            ).reshape(pi_last.shape[:3] + (2,))
+            a_last = jax.vmap(jax.vmap(jax.vmap(
+                lambda k, p: jax.random.categorical(k, jnp.log(p + 1e-10))
+            )))(keys, pi_last).astype(jnp.int32)
+            q_last = critic_q(
+                runner.target_critic, traj["final_state"], traj["final_obs"], a_last
+            )
+            q_last_taken = jnp.take_along_axis(
+                q_last, a_last[..., None], axis=-1
+            )[..., 0]                                            # (T,B,n)
+            reward = reward + (
+                cfg.gamma * q_last_taken
+                * traj["trunc_only"][..., None].astype(reward.dtype)
+            )
         ended = jnp.broadcast_to(traj["ended"][..., None], q_taken_tgt.shape)
         returns = lambda_returns(
             reward, ended, q_taken_tgt, v_boot, cfg.gamma, lam

@@ -82,3 +82,32 @@ def test_coma_per_agent_rewards_on_lbf():
     runner = init(jax.random.PRNGKey(0))
     runner, metrics = train_block(runner)
     assert np.isfinite(float(metrics["train/critic_loss"]))
+
+
+def test_coma_bootstrap_truncation_learns_matrix_game():
+    """coma_lbf deviation (1): r + γQ'(s_T, a~π_ε) at time-limit
+    truncation (coma_lbf.py:4, 557-578). MatrixGame episodes always end
+    by truncation, so the bootstrap path is exercised at every episode
+    boundary and learning must still converge."""
+    cfg = COMAConfig(
+        env_type="matrix",
+        num_envs=16,
+        total_timesteps=80_000,
+        learning_rate_actor=2e-3,
+        learning_rate_critic=3e-3,
+        entropy_coef=0.003,
+        td_lambda=0.8,
+        exploration_fraction=100.0,
+        polyak=0.05,
+        bootstrap_truncation=True,
+        log_interval=4,
+        num_eval_ep=8,
+        seed=0,
+    )
+    env = MatrixGame(n_agents=2, n_actions=3, episode_limit=8)
+    init, train_block, eval_fn, meta = make_train(cfg, env)
+    runner = init(jax.random.PRNGKey(0))
+    for _ in range(cfg.total_timesteps // meta["steps_per_block"]):
+        runner, metrics = train_block(runner)
+    out = eval_fn(runner.actor_params, jax.random.PRNGKey(1))
+    assert float(out["eval/ep_reward"]) > 6.8, dict(out)
