@@ -1,15 +1,20 @@
 """Round benchmark: steady-state env-steps/s/chip of the fully-jitted
-MAPPO actor-learner on pure-JAX simple_spread (north-star family per
-/root/repo/BASELINE.md; switches to SMAClite 3m when that port lands).
+recurrent MAPPO actor-learner on pure-JAX SMAClite ``3m`` — the
+north-star config per /root/repo/BASELINE.md (reference:
+mappo_lstm_multienvs.py --env_type=smaclite --env_name=3m).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Baseline: the reference (AmineAndam04/cleanmarl) is a single-Python-env
-CPU loop (device="cpu" default, vdn.py:73; one process per env in the
-_multienvs variants). Its env-rate on MPE-class envs is ~1,000
+CPU loop (device="cpu" default, vdn.py:73; one OS process per env in the
+_multienvs variants). Its env-rate on SMAClite-class envs is ~1,000
 env-steps/s per process including the per-step torch forward — we use
 1,000 as the reference denominator (cannot be measured here: the
 pettingzoo-MPE/smaclite wheels are not installed in this image).
+
+Sweep notes (steady-state, one v5e chip):
+  MAPPO 3m recurrent: 512 envs → 1.46M, 2048 → 2.12M, 8192 → 2.28M sps
+  MAPPO simple_spread ff: 16384 envs → 5.2M sps (peak; 65536 regresses)
 """
 from __future__ import annotations
 
@@ -25,15 +30,14 @@ def main():
     from cleanmarl_tpu.algos.mappo import make_train
     from cleanmarl_tpu.algos.ppo_common import PPOConfig
 
-    num_envs = 16384   # sweep: 1024→3.2M, 4096→4.5M, 16384→5.2M steps/s
-    log_interval = 10
     cfg = PPOConfig(
-        env_type="mpe",
-        env_name="simple_spread_v3",
+        env_type="smaclite",
+        env_name="3m",
         agent_ids=True,
-        num_envs=num_envs,
-        total_timesteps=10_000_000,
-        log_interval=log_interval,
+        recurrent=True,
+        num_envs=8192,
+        total_timesteps=1_000_000_000,
+        log_interval=2,
         seed=0,
         verbose=False,
     )
@@ -58,7 +62,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "MAPPO simple_spread env-steps/s/chip",
+                "metric": "recurrent MAPPO SMAClite-3m env-steps/s/chip",
                 "value": round(sps, 1),
                 "unit": "env-steps/s",
                 "vs_baseline": round(sps / BASELINE_STEPS_PER_S, 2),
