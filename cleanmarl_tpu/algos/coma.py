@@ -212,10 +212,9 @@ def make_train(cfg: COMAConfig, env=None):
             env_state, obs, state, avail, h, stats, key = carry
             key, k_act, k_step = jax.random.split(key, 3)
             h2, probs = actor_step(runner.actor_params, h, obs, avail, epsilon)
-            keys = jax.random.split(k_act, cfg.num_envs * n).reshape(cfg.num_envs, n, 2)
-            actions = jax.vmap(jax.vmap(
-                lambda k, p: jax.random.categorical(k, jnp.log(p + 1e-10))
-            ))(keys, probs).astype(jnp.int32)
+            actions = jax.random.categorical(
+                k_act, jnp.log(probs + 1e-10)
+            ).astype(jnp.int32)
             env_state, ts2, final = vec.step(env_state, actions, k_step)
             ended = jnp.logical_or(ts2.done, ts2.truncated)
             h2 = jnp.where(ended[:, None, None], 0.0, h2)
@@ -281,12 +280,9 @@ def make_train(cfg: COMAConfig, env=None):
             pi_last = actor_probs(
                 runner.actor_params, traj["final_obs"], traj["final_avail"], epsilon
             )                                                    # (T,B,n,A)
-            keys = jax.random.split(
-                k_boot, pi_last.shape[0] * pi_last.shape[1] * n
-            ).reshape(pi_last.shape[:3] + (2,))
-            a_last = jax.vmap(jax.vmap(jax.vmap(
-                lambda k, p: jax.random.categorical(k, jnp.log(p + 1e-10))
-            )))(keys, pi_last).astype(jnp.int32)
+            a_last = jax.random.categorical(
+                k_boot, jnp.log(pi_last + 1e-10)
+            ).astype(jnp.int32)
             q_last = critic_q(
                 runner.target_critic, traj["final_state"], traj["final_obs"], a_last
             )
@@ -393,11 +389,7 @@ def make_train(cfg: COMAConfig, env=None):
 
     def sampled_policy(params, carry, obs, avail, key):
         carry, probs = actor_step(params, carry, obs, avail, 0.0)
-        n_env = obs.shape[0]
-        keys = jax.random.split(key, n_env * n).reshape(n_env, n, 2)
-        actions = jax.vmap(jax.vmap(
-            lambda k, p: jax.random.categorical(k, jnp.log(p + 1e-10))
-        ))(keys, probs)
+        actions = jax.random.categorical(key, jnp.log(probs + 1e-10))
         return carry, actions.astype(jnp.int32)
 
     eval_fn = jax.jit(

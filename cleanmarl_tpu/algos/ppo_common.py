@@ -217,11 +217,9 @@ def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
             env_state, obs, state, avail, h, stats, key = carry
             key, k_act, k_step = jax.random.split(key, 3)
             h2, logits = actor_step(runner.actor_params, h, obs, avail)
-            keys = jax.random.split(k_act, cfg.num_envs * env.n_agents).reshape(
-                cfg.num_envs, env.n_agents, 2
-            )
-            actions = jax.vmap(jax.vmap(jax.random.categorical))(keys, logits)
-            actions = actions.astype(jnp.int32)
+            # one key, batched sampling over (env, agent) — categorical
+            # draws independent samples over leading dims natively
+            actions = jax.random.categorical(k_act, logits).astype(jnp.int32)
             logp = jnp.take_along_axis(
                 jax.nn.log_softmax(logits, axis=-1), actions[..., None], axis=-1
             )[..., 0]
@@ -365,12 +363,7 @@ def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
 
     def sampled_policy(params, carry, obs, avail, key):
         carry, logits = actor_step(params, carry, obs, avail)
-        n_env = obs.shape[0]
-        keys = jax.random.split(key, n_env * env.n_agents).reshape(
-            n_env, env.n_agents, 2
-        )
-        actions = jax.vmap(jax.vmap(jax.random.categorical))(keys, logits)
-        return carry, actions.astype(jnp.int32)
+        return carry, jax.random.categorical(key, logits).astype(jnp.int32)
 
     eval_fn = jax.jit(
         make_evaluator(

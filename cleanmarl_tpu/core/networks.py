@@ -102,24 +102,35 @@ def masked_q(q: chex.Array, avail: Optional[chex.Array]) -> chex.Array:
 # ---------------------------------------------------------------------------
 
 def gru_init(key: chex.PRNGKey, in_dim: int, hidden_dim: int):
+    """Gates stored fused in torch's (r, z, n) order: one (in, 3H) input
+    projection and one (H, 3H) recurrent projection, so a cell step is
+    two MXU matmuls instead of six. Each H-wide gate block is
+    orthogonally initialized independently (as torch initializes each
+    gate), then concatenated."""
     k = jax.random.split(key, 6)
     def mat(kk, d_in):
         return orthogonal(kk, (d_in, hidden_dim), gain=1.0)
     return {
-        "wir": mat(k[0], in_dim), "whr": mat(k[1], hidden_dim),
-        "wiz": mat(k[2], in_dim), "whz": mat(k[3], hidden_dim),
-        "win": mat(k[4], in_dim), "whn": mat(k[5], hidden_dim),
-        "bir": jnp.zeros((hidden_dim,)), "bhr": jnp.zeros((hidden_dim,)),
-        "biz": jnp.zeros((hidden_dim,)), "bhz": jnp.zeros((hidden_dim,)),
-        "bin": jnp.zeros((hidden_dim,)), "bhn": jnp.zeros((hidden_dim,)),
+        "wi": jnp.concatenate([mat(k[0], in_dim), mat(k[1], in_dim),
+                               mat(k[2], in_dim)], axis=-1),
+        "wh": jnp.concatenate([mat(k[3], hidden_dim), mat(k[4], hidden_dim),
+                               mat(k[5], hidden_dim)], axis=-1),
+        "bi": jnp.zeros((3 * hidden_dim,)),
+        "bh": jnp.zeros((3 * hidden_dim,)),
     }
 
 
 def gru_apply(params, h: chex.Array, x: chex.Array) -> chex.Array:
-    """h' = GRUCell(x, h). Shapes: x (..., in_dim), h (..., hidden)."""
-    r = jax.nn.sigmoid(x @ params["wir"] + params["bir"] + h @ params["whr"] + params["bhr"])
-    z = jax.nn.sigmoid(x @ params["wiz"] + params["biz"] + h @ params["whz"] + params["bhz"])
-    n = jnp.tanh(x @ params["win"] + params["bin"] + r * (h @ params["whn"] + params["bhn"]))
+    """h' = GRUCell(x, h). Shapes: x (..., in_dim), h (..., hidden).
+    Matches torch nn.GRUCell semantics (vdn_lstm.py:88) with the reset
+    gate applied to the *projected* hidden contribution."""
+    gi = x @ params["wi"] + params["bi"]        # (..., 3H)
+    gh = h @ params["wh"] + params["bh"]        # (..., 3H)
+    ir, iz, in_ = jnp.split(gi, 3, axis=-1)
+    hr, hz, hn = jnp.split(gh, 3, axis=-1)
+    r = jax.nn.sigmoid(ir + hr)
+    z = jax.nn.sigmoid(iz + hz)
+    n = jnp.tanh(in_ + r * hn)
     return (1.0 - z) * n + z * h
 
 

@@ -66,8 +66,7 @@ class Environment:
         avail: (n_agents, n_actions) bool/int → (n_agents,) int32.
         """
         logits = jnp.where(avail.astype(bool), 0.0, -jnp.inf)
-        keys = jax.random.split(key, self.n_agents)
-        return jax.vmap(jax.random.categorical)(keys, logits).astype(jnp.int32)
+        return jax.random.categorical(key, logits).astype(jnp.int32)
 
     # convenience accessors keeping the reference's names alive
     def get_obs_size(self) -> int:

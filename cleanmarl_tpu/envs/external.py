@@ -160,12 +160,7 @@ class HostVecEnv:
 
     def sample(self, key, avail):
         logits = jnp.where(avail.astype(bool), 0.0, -jnp.inf)
-        keys = jax.random.split(key, self.num_envs * self.n_agents).reshape(
-            self.num_envs, self.n_agents, 2
-        )
-        return jax.vmap(jax.vmap(jax.random.categorical))(keys, logits).astype(
-            jnp.int32
-        )
+        return jax.random.categorical(key, logits).astype(jnp.int32)
 
     def close(self):
         for env in self.envs:

@@ -41,20 +41,10 @@ def test_gru_matches_torch_grucell():
 
     cell = torch.nn.GRUCell(in_dim, hidden)
     with torch.no_grad():
-        cell.weight_ih.copy_(
-            torch.tensor(
-                np.concatenate(
-                    [np.asarray(params[k]).T for k in ("wir", "wiz", "win")], axis=0
-                )
-            )
-        )
-        cell.weight_hh.copy_(
-            torch.tensor(
-                np.concatenate(
-                    [np.asarray(params[k]).T for k in ("whr", "whz", "whn")], axis=0
-                )
-            )
-        )
+        # fused (in, 3H) r|z|n layout transposes onto torch's stacked
+        # (3H, in) weight_ih in the same gate order
+        cell.weight_ih.copy_(torch.tensor(np.asarray(params["wi"]).T))
+        cell.weight_hh.copy_(torch.tensor(np.asarray(params["wh"]).T))
         cell.bias_ih.zero_()
         cell.bias_hh.zero_()
         ref = cell(torch.tensor(x), torch.tensor(h)).numpy()
