@@ -17,8 +17,14 @@ SMAC interface contract the wrapper exposes:
   (smaclite_wrapper.py:45-46 forwards these to the learner).
 - **Combat**: a firing unit whose cooldown has elapsed deals its
   type's damage (shields absorb first; Protoss shields regenerate
-  +2/step when not hit); the scripted enemy team focus-fires the
-  nearest living agent, closing distance otherwise (SMAC's bot).
+  +2/step when not hit); the scripted enemy team plays SC2-style
+  attack-move (SMAC's bot): each enemy unit independently acquires
+  the ally nearest *to itself* and **keeps that target until it dies
+  or leaves sight range** (SC2 auto-attack target persistence —
+  perfect per-step refocusing onto the globally nearest ally would be
+  strictly stronger than the SC2 AI and makes 3m unwinnable at SMAC
+  rates; verified by scripts/forensic_3m_scripted.py), closing
+  distance when out of weapon range.
 - **Reward** (team scalar): damage dealt (hp + shield) + ``REWARD_KILL``
   per enemy death + ``REWARD_WIN`` on wiping the enemy team, normalized
   so the maximum episode return is ``REWARD_SCALE`` (SMAC's
@@ -63,6 +69,7 @@ TYPE_ORDER = ("marine", "stalker", "zealot")
 
 ORDER_RANGE = 6.0     # attack-order availability radius (SMAC shoot range)
 SIGHT_RANGE = 9.0
+PURSUE_MARGIN = 2.0   # bot target-lock leash beyond its weapon range
 MOVE_AMOUNT = 2.0
 MAP_SIZE = 32.0
 REWARD_KILL = 10.0
@@ -91,6 +98,7 @@ class SmacState:
     enemy_hp: chex.Array     # (E,)
     enemy_shield: chex.Array # (E,)
     enemy_cd: chex.Array     # (E,)
+    enemy_target: chex.Array # (E,) int32; -1 = no acquired target
     last_action: chex.Array  # (A,) int32
     t: chex.Array            # () int32
 
@@ -185,6 +193,7 @@ class MicroCombat(Environment):
             enemy_hp=self.e_max_hp,
             enemy_shield=self.e_max_sh,
             enemy_cd=jnp.zeros((self.n_enemies,)),
+            enemy_target=jnp.full((self.n_enemies,), -1, jnp.int32),
             last_action=jnp.zeros((self.n_agents,), jnp.int32),
             t=jnp.zeros((), jnp.int32),
         )
@@ -383,28 +392,68 @@ class MicroCombat(Environment):
             enemy_shield,
         )
 
-        # ---- scripted enemy team: focus nearest, close distance -------
+        # ---- scripted enemy team: SC2-style attack-move ----------------
+        # each enemy keeps its acquired target while that ally lives and
+        # stays within sight (SC2 auto-attack persistence); it re-acquires
+        # the ally nearest to itself otherwise, and closes distance when
+        # out of weapon range. Decisions use the PRE-move ally positions —
+        # the same snapshot the allies acted on (simultaneous-move
+        # resolution, as in SMAC's 8-frame step); reacting to post-move
+        # positions would hand the bot a free first volley at engagement
+        # start (measured: it turns mirror 3m into a ~50% coin flip,
+        # scripts/forensic_3m_scripted.py)
         enemy_alive2 = enemy_hp > 0.0
         dist_ea = jnp.linalg.norm(
-            s.enemy_pos[:, None, :] - ally_pos[None, :, :], axis=-1
+            s.enemy_pos[:, None, :] - s.ally_pos[None, :, :], axis=-1
         )                                                            # (E,A)
         dist_masked = jnp.where(alive[None, :], dist_ea, jnp.inf)
         nearest = jnp.argmin(dist_masked, axis=-1)                   # (E,)
         nearest_dist = jnp.min(dist_masked, axis=-1)
-        any_target = jnp.isfinite(nearest_dist)
-        fire = enemy_alive2 & any_target & (nearest_dist <= self.e_rng) & (s.enemy_cd <= 0.0)
-        dmg_in = jnp.zeros((self.n_agents,)).at[nearest].add(
+        e_idx = jnp.arange(self.n_enemies)
+        cur = jnp.clip(s.enemy_target, 0, self.n_agents - 1)
+        cur_dist = dist_ea[e_idx, cur]
+        # persistence has a short pursuit leash (weapon range + margin,
+        # SC2's target-lock behavior): a focused ally that pulls back
+        # redirects the enemy onto the next-nearest — the tanking
+        # rotation SMAC policies exploit to hit ~95%+ win rates
+        cur_valid = (
+            (s.enemy_target >= 0) & alive[cur]
+            & (cur_dist <= self.e_rng + PURSUE_MARGIN)
+        )
+        # acquisition only within sight range (SC2 target acquisition) —
+        # an enemy never locks an ally it cannot see
+        near_valid = nearest_dist <= SIGHT_RANGE
+        has_target = cur_valid | near_valid
+        target_a = jnp.where(cur_valid, cur, nearest)                # (E,)
+        tgt_dist = dist_ea[e_idx, target_a]
+        fire = (
+            enemy_alive2 & has_target
+            & (tgt_dist <= self.e_rng) & (s.enemy_cd <= 0.0)
+        )
+        dmg_in = jnp.zeros((self.n_agents,)).at[target_a].add(
             jnp.where(fire, self.e_dmg, 0.0)
         )
         enemy_cd = jnp.where(fire, self.e_cd, jnp.maximum(s.enemy_cd - 1.0, 0.0))
-        enemy_tgt = ally_pos[nearest]
-        to_ally = enemy_tgt - s.enemy_pos
-        norm = jnp.linalg.norm(to_ally, axis=-1, keepdims=True) + 1e-8
-        advance = enemy_alive2 & any_target & (nearest_dist > self.e_rng)
+        # movement: close on the acquired target when out of weapon range;
+        # with no target, attack-move toward the ally spawn point (SMAC
+        # launches the bot with an attack-move order across the map)
+        spawn_dest = jnp.array([9.0, MAP_SIZE / 2.0])
+        dest = jnp.where(
+            has_target[:, None], s.ally_pos[target_a], spawn_dest[None, :]
+        )
+        to_dest = dest - s.enemy_pos
+        norm = jnp.linalg.norm(to_dest, axis=-1, keepdims=True) + 1e-8
+        advance = enemy_alive2 & (
+            (has_target & (tgt_dist > self.e_rng))
+            | (~has_target & (norm[:, 0] > MOVE_AMOUNT))
+        )
         enemy_pos = jnp.clip(
-            s.enemy_pos + to_ally / norm * MOVE_AMOUNT * advance[:, None],
+            s.enemy_pos + to_dest / norm * MOVE_AMOUNT * advance[:, None],
             0.5, MAP_SIZE - 0.5,
         )
+        enemy_target = jnp.where(
+            enemy_alive2 & has_target, target_a, -1
+        ).astype(jnp.int32)
         ally_hp, ally_shield, _ = self._apply_damage(
             s.ally_hp, s.ally_shield, dmg_in
         )
@@ -436,6 +485,7 @@ class MicroCombat(Environment):
             enemy_hp=enemy_hp,
             enemy_shield=enemy_shield,
             enemy_cd=enemy_cd,
+            enemy_target=enemy_target,
             last_action=actions,
             t=t2,
         )

@@ -50,12 +50,16 @@ def test_move_east_closes_distance_and_enables_attack():
     env = smaclite.make("3m")
     s, ts = env.reset(jax.random.PRNGKey(0))
     d0 = float(jnp.linalg.norm(s.ally_pos[0] - s.enemy_pos[0]))
+    min_d, seen_attack = d0, False
     for _ in range(10):  # move east (action 4) repeatedly
         s, ts = env.step(s, jnp.full((3,), 4, jnp.int32), jax.random.PRNGKey(1))
-    d1 = float(jnp.linalg.norm(s.ally_pos[0] - s.enemy_pos[0]))
-    assert d1 < d0
-    # enemies advanced too; attacks should now be available
-    assert np.asarray(ts.avail)[:, N_FIXED_ACTIONS:].any()
+        min_d = min(min_d, float(jnp.linalg.norm(s.ally_pos[0] - s.enemy_pos[0])))
+        seen_attack |= bool(np.asarray(ts.avail)[:, N_FIXED_ACTIONS:].any())
+    # the teams closed distance during the march and attacks became
+    # available at contact (allies may then overshoot past the enemy
+    # line — the bot pursues with a short leash, not a beeline)
+    assert min_d < d0
+    assert seen_attack
 
 
 def test_combat_damage_and_kill_reward():
@@ -218,3 +222,40 @@ def test_zealot_attack_move_closes_distance():
 def test_marine_maps_keep_classic_dims():
     env = smaclite.make("3m")
     assert env.obs_dim == 30 and env.state_dim == 48
+
+
+def test_3m_winnable_by_scripted_micro():
+    """Env-balance pin (VERDICT r1): 3m must be winnable at SMAC rates.
+
+    A scripted focus-fire + tanking-rotation policy (pull the locked,
+    wounded ally back while its weapon cools down) must win ≥95% — the
+    property that makes the north-star MAPPO ≥0.95 target reachable.
+    Full study: scripts/forensic_3m_scripted.py (99.98% over ~11k eps).
+    """
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from scripts.forensic_3m_scripted import policy_focus_retreat
+
+    env = smaclite.make("3m")
+
+    def one_ep(key):
+        s, ts = env.reset(key)
+
+        def body(carry):
+            s, ts, key, _ = carry
+            key, k = jax.random.split(key)
+            a = policy_focus_retreat(s, ts.avail, env).astype(jnp.int32)
+            s2, ts2 = env.step(s, a, k)
+            return (s2, ts2, key, ts2.info["battle_won"])
+
+        def cond(carry):
+            _, ts, _, _ = carry
+            return jnp.logical_not(ts.done | ts.truncated)
+
+        *_, won = jax.lax.while_loop(cond, body, (s, ts, key, jnp.zeros(())))
+        return won
+
+    wins = jax.jit(jax.vmap(one_ep))(jax.random.split(jax.random.PRNGKey(0), 256))
+    assert float(wins.mean()) >= 0.95
