@@ -74,6 +74,9 @@ class QMIXConfig:
     checkpoint_dir: str = ""
     checkpoint_every: int = 200_000   # env steps between saves
     resume: bool = False
+    use_wnb: bool = False           # Weights & Biases logging (vdn.py:67-71)
+    wnb_project: str = ""
+    wnb_entity: str = ""
     seed: int = 1
     verbose: bool = True
 

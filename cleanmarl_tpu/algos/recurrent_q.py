@@ -94,6 +94,9 @@ class RecurrentQConfig:
     checkpoint_dir: str = ""
     checkpoint_every: int = 200_000   # env steps between saves
     resume: bool = False
+    use_wnb: bool = False           # Weights & Biases logging (vdn.py:67-71)
+    wnb_project: str = ""
+    wnb_entity: str = ""
     seed: int = 1
     verbose: bool = True
 
@@ -120,13 +123,27 @@ class RecQRunnerState:
 
 
 def make_train(cfg: RecurrentQConfig, env=None):
-    assert cfg.mixing in ("vdn", "qmix"), cfg.mixing
-    assert cfg.replay in ("episode", "sequence"), cfg.replay
+    if cfg.mixing not in ("vdn", "qmix"):
+        raise ValueError(f"--mixing must be 'vdn' or 'qmix', got {cfg.mixing!r}")
+    if cfg.replay not in ("episode", "sequence"):
+        raise ValueError(
+            f"--replay must be 'episode' or 'sequence', got {cfg.replay!r}"
+        )
     if cfg.replay == "sequence":
         # sequence-chunk replay exists only for VDN in the reference
         # (vdn_lstm.py; qmix_lstm.py uses episode replay + TBPTT)
-        assert cfg.mixing == "vdn", "replay='sequence' supports mixing='vdn' only"
-        assert 0 <= cfg.burn_in < cfg.seq_length, (cfg.burn_in, cfg.seq_length)
+        if cfg.mixing != "vdn":
+            raise ValueError(
+                "--replay sequence supports --mixing vdn only: the QMIX "
+                "mixer needs whole padded episodes (reference qmix_lstm.py "
+                "uses episode replay + TBPTT; sequence chunks are "
+                "vdn_lstm.py's storage model)"
+            )
+        if not 0 <= cfg.burn_in < cfg.seq_length:
+            raise ValueError(
+                f"--burn_in must satisfy 0 <= burn_in < seq_length, got "
+                f"burn_in={cfg.burn_in} seq_length={cfg.seq_length}"
+            )
     use_seq = cfg.replay == "sequence"
     if env is None:
         env = registry.make(cfg.env_type, cfg.env_name, agent_ids=cfg.agent_ids,

@@ -39,12 +39,15 @@ def run_training(
     """
     own_logger = logger is None
     if own_logger:
-        logger = Logger(algo_name, cfg)
+        logger = Logger(algo_name, cfg, use_wnb=getattr(cfg, "use_wnb", False))
     key = jax.random.PRNGKey(cfg.seed)
     init_key, eval_key = jax.random.split(key)
     runner = init(init_key)
+    if steps_of is None:
+        steps_of = lambda r: int(r.step)  # noqa: E731
 
     ckpt = None
+    done_steps = 0
     ckpt_dir = getattr(cfg, "checkpoint_dir", "")
     if ckpt_dir:
         from cleanmarl_tpu.core.checkpoint import Checkpointer
@@ -52,15 +55,19 @@ def run_training(
         ckpt = Checkpointer(ckpt_dir)
         if getattr(cfg, "resume", False) and ckpt.latest_step() is not None:
             runner = ckpt.restore(runner)
+            done_steps = steps_of(runner)
             print(f"[{algo_name}] resumed from step {ckpt.latest_step()}", flush=True)
 
-    num_blocks = max(1, cfg.total_timesteps // steps_per_block)
+    # a resumed run trains only the REMAINING budget, so interrupt+resume
+    # completes exactly total_timesteps overall
+    remaining = max(0, cfg.total_timesteps - done_steps)
+    num_blocks = remaining // steps_per_block if done_steps else max(
+        1, cfg.total_timesteps // steps_per_block
+    )
     eval_every = max(1, cfg.eval_steps // steps_per_block)
     ckpt_every = max(
         1, getattr(cfg, "checkpoint_every", 0) // steps_per_block
     ) if ckpt_dir else 0
-    if steps_of is None:
-        steps_of = lambda r: int(r.step)  # noqa: E731
     eval_metrics: Dict[str, float] = {}
     t0 = time.time()
     steps0 = None

@@ -65,3 +65,36 @@ def lambda_advantages(rewards, ended, values, bootstrap_value, gamma, lam):
     """(G, A) with A_t = G_t − V_t (ippo.py:409-411)."""
     g = lambda_returns(rewards, ended, values, bootstrap_value, gamma, lam)
     return g, g - values
+
+
+def nstep_returns(
+    rewards: chex.Array,          # (T, ...)
+    ended: chex.Array,            # (T, ...) bool
+    values: chex.Array,           # (T, ...) bootstrap value at step t
+    bootstrap_value: chex.Array,  # (...) value at the rollout cut
+    gamma: float,
+    n: int,
+) -> chex.Array:
+    """n-step targets over an auto-reset rollout stream.
+
+    Mirrors /root/reference/cleanmarl/coma.py:497-528 (use_tdlamda=False,
+    arbitrary ``nsteps``): G_t = Σ_{i<n} γ^i r_{t+i} + γ^n V_{t+n}, with
+    the window truncating at an episode boundary (steps inside the last
+    n of an episode get the plain discounted sum of the remaining
+    rewards, no bootstrap — the reference's else-branch). Episodes cut
+    by the rollout edge bootstrap with ``bootstrap_value`` at whatever
+    depth the window reaches the edge, matching ``lambda_returns``'s
+    treatment of the cut.
+
+    Built as n unrolled sweeps of G^{(k)}_t = r_t + γ(1−e_t)·G^{(k−1)}_{t+1}
+    starting from G^{(0)} = values — each sweep is one fused elementwise
+    op over the whole (T, ...) block, no sequential scan.
+    """
+    if n < 1:
+        raise ValueError(f"nsteps must be >= 1, got {n}")
+    ended_f = ended.astype(values.dtype)
+    g = values
+    for _ in range(n):
+        g_next = jnp.concatenate([g[1:], bootstrap_value[None]], axis=0)
+        g = rewards + gamma * (1.0 - ended_f) * g_next
+    return g

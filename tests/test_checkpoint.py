@@ -41,3 +41,55 @@ def test_checkpoint_roundtrip_and_exact_resume():
             atol=1e-6,
         )
         ckpt.close()
+
+
+def test_resume_trains_only_remaining_budget():
+    """VERDICT r1 weak-2: a resumed run must complete exactly
+    total_timesteps overall, not total_timesteps additional steps."""
+    from cleanmarl_tpu.algos import vdn
+
+    env = MatrixGame(n_agents=2, n_actions=3, episode_limit=8)
+    with tempfile.TemporaryDirectory() as d:
+        base = dict(env_type="matrix", num_envs=4, buffer_size=256,
+                    learning_starts=64, log_interval=16, eval_steps=10**9,
+                    checkpoint_dir=d, checkpoint_every=256,
+                    seed=0, verbose=False)
+        env_steps = lambda r: int(r.step) * 4  # VDN steps_of semantics
+        # phase 1: train 512 of an eventual 1024-step budget
+        cfg1 = vdn.VDNConfig(total_timesteps=512, **base)
+        runner1, _ = vdn.train(cfg1, env)
+        assert env_steps(runner1) == 512
+        # phase 2: resume with the full budget → trains only the remainder
+        cfg2 = vdn.VDNConfig(total_timesteps=1024, resume=True, **base)
+        runner2, _ = vdn.train(cfg2, env)
+        assert env_steps(runner2) == 1024
+        # resuming an already-complete run trains zero additional steps
+        cfg3 = vdn.VDNConfig(total_timesteps=1024, resume=True, **base)
+        runner3, _ = vdn.train(cfg3, env)
+        assert env_steps(runner3) == 1024
+
+
+def test_use_wnb_reaches_wandb_init(monkeypatch):
+    """VERDICT r1 item 5: --use_wnb on a CLI config must reach
+    wandb.init (reference vdn.py:235-244)."""
+    import sys
+    import types
+
+    calls = {}
+    fake = types.ModuleType("wandb")
+    fake.init = lambda **kw: calls.update(kw)
+    fake.finish = lambda: calls.setdefault("finished", True)
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    from cleanmarl_tpu.algos import vdn
+    from cleanmarl_tpu.core.logger import Logger
+
+    cfg = vdn.VDNConfig(env_type="matrix", use_wnb=True,
+                        wnb_project="proj", wnb_entity="ent")
+    logger = Logger("VDN", cfg, use_wnb=cfg.use_wnb)
+    assert calls["project"] == "proj"
+    assert calls["entity"] == "ent"
+    assert calls["sync_tensorboard"] is True
+    assert calls["config"]["use_wnb"] is True
+    logger.close()
+    assert calls.get("finished") is True

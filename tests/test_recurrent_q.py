@@ -66,3 +66,12 @@ def test_hidden_state_resets_between_episodes():
     runner, _ = train_block(runner)
     # all envs ended exactly at the block boundary → h reset to zeros
     assert float(np.abs(np.asarray(runner.h)).sum()) == 0.0
+
+
+def test_sequence_replay_qmix_guard_message():
+    import pytest
+
+    cfg = RecurrentQConfig(env_type="matrix", replay="sequence", mixing="qmix")
+    env = MatrixGame(n_agents=2, n_actions=3, episode_limit=8)
+    with pytest.raises(ValueError, match="mixing vdn"):
+        make_train(cfg, env)

@@ -88,3 +88,46 @@ def test_batched_trailing_dims():
     values = jnp.zeros((4, 2, 3))
     g = lambda_returns(rewards, ended, values, jnp.zeros((2, 3)), 0.9, 0.8)
     assert g.shape == (4, 2, 3)
+
+
+def test_nstep_matches_hand_computed_3step():
+    """coma.py:497-528 semantics: G_t = Σ_{i<n} γ^i r_{t+i} + γ^n V_{t+n},
+    window truncating at episode end (no bootstrap inside the last n)."""
+    from cleanmarl_tpu.ops.returns import nstep_returns
+
+    gamma = 0.5
+    rewards = np.array([1.0, 2.0, 3.0, 4.0, 5.0])
+    values = np.array([10.0, 20.0, 30.0, 40.0, 50.0])
+    ended = np.array([False, False, False, True, False])  # episode ends after t=3
+    vboot = np.asarray(100.0)
+    g = nstep_returns(
+        jnp.asarray(rewards), jnp.asarray(ended), jnp.asarray(values),
+        jnp.asarray(vboot), gamma=gamma, n=3,
+    )
+    # t=0: full window inside the episode → r0 + γr1 + γ²r2 + γ³V3
+    exp0 = 1.0 + 0.5 * 2.0 + 0.25 * 3.0 + 0.125 * 40.0
+    # t=1: episode ends at t=3 (within window) → r1 + γr2 + γ²r3, no bootstrap
+    exp1 = 2.0 + 0.5 * 3.0 + 0.25 * 4.0
+    # t=2: r2 + γr3 (end), no bootstrap
+    exp2 = 3.0 + 0.5 * 4.0
+    # t=3: ended → r3 alone
+    exp3 = 4.0
+    # t=4: new episode, window hits the rollout cut → r4 + γ·vboot
+    exp4 = 5.0 + 0.5 * 100.0
+    np.testing.assert_allclose(
+        np.asarray(g), [exp0, exp1, exp2, exp3, exp4], rtol=1e-6
+    )
+
+
+def test_nstep1_equals_lambda0():
+    from cleanmarl_tpu.ops.returns import nstep_returns
+
+    rng = np.random.RandomState(0)
+    rewards = jnp.asarray(rng.randn(6, 3))
+    values = jnp.asarray(rng.randn(6, 3))
+    ended = jnp.asarray(rng.rand(6, 3) < 0.3)
+    vboot = jnp.asarray(rng.randn(3))
+    g1 = nstep_returns(rewards, ended, values, vboot, gamma=0.9, n=1)
+    g2 = lambda_returns(rewards, ended, values, vboot, gamma=0.9, lam=0.0,
+                        use_pallas=False)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-6)
