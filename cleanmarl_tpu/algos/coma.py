@@ -93,6 +93,10 @@ class COMAConfig:
     use_wnb: bool = False           # Weights & Biases logging (vdn.py:67-71)
     wnb_project: str = ""
     wnb_entity: str = ""
+    use_mesh: bool = False          # shard the env batch over all devices
+    coordinator_address: str = ""   # multi-host: jax.distributed coordinator
+    num_processes: int = 1          # multi-host: total process count
+    process_id: int = 0             # multi-host: this process's rank
     seed: int = 1
     verbose: bool = True
 
@@ -431,6 +435,7 @@ def make_train(cfg: COMAConfig, env=None):
 
 def train(cfg: COMAConfig, env=None, logger: Logger | None = None):
     from cleanmarl_tpu.core.driver import run_training
+    from cleanmarl_tpu.distributed.dp import DATA_FIELD_DIMS
 
     init, train_block, eval_fn, meta = make_train(cfg, env)
     return run_training(
@@ -439,6 +444,7 @@ def train(cfg: COMAConfig, env=None, logger: Logger | None = None):
         eval_params=lambda r: r.actor_params,
         print_keys=("rollout/ep_reward", "train/critic_loss"),
         logger=logger,
+        data_field_dims=DATA_FIELD_DIMS["COMA"],
     )
 
 

@@ -97,6 +97,10 @@ class RecurrentQConfig:
     use_wnb: bool = False           # Weights & Biases logging (vdn.py:67-71)
     wnb_project: str = ""
     wnb_entity: str = ""
+    use_mesh: bool = False          # shard the env batch over all devices
+    coordinator_address: str = ""   # multi-host: jax.distributed coordinator
+    num_processes: int = 1          # multi-host: total process count
+    process_id: int = 0             # multi-host: this process's rank
     seed: int = 1
     verbose: bool = True
 
@@ -417,6 +421,7 @@ def make_train(cfg: RecurrentQConfig, env=None):
 
 def train(cfg: RecurrentQConfig, env=None, logger: Logger | None = None):
     from cleanmarl_tpu.core.driver import run_training
+    from cleanmarl_tpu.distributed.dp import DATA_FIELD_DIMS
 
     algo_name = "VDN-RNN" if cfg.mixing == "vdn" else "QMIX-RNN"
     init, train_block, eval_fn = make_train(cfg, env)
@@ -427,6 +432,7 @@ def train(cfg: RecurrentQConfig, env=None, logger: Logger | None = None):
         steps_of=lambda r: int(r.step) * cfg.num_envs,
         print_keys=("rollout/ep_reward", "train/loss"),
         logger=logger,
+        data_field_dims=DATA_FIELD_DIMS["RECURRENT_Q"],
     )
 
 

@@ -54,4 +54,10 @@ def cli(cls: Type[T], args: Optional[Sequence[str]] = None, description: str = "
             parser.add_argument(*names, type=ftype, default=default, help=" ")
     ns = parser.parse_args(args)
     kwargs = {f.name: getattr(ns, f.name) for f in dataclasses.fields(cls) if f.init}
-    return cls(**kwargs)
+    cfg = cls(**kwargs)
+    # multi-host bootstrap must precede every other JAX call in the
+    # process (no-op without --coordinator_address)
+    from cleanmarl_tpu.distributed.multihost import maybe_initialize
+
+    maybe_initialize(cfg)
+    return cfg

@@ -18,6 +18,16 @@ import jax
 from cleanmarl_tpu.core.logger import Logger
 
 
+class _NullLogger:
+    """Non-main multi-host processes log nothing (process 0 owns TB/W&B)."""
+
+    def log(self, scalars, step):
+        pass
+
+    def close(self):
+        pass
+
+
 def run_training(
     algo_name: str,
     cfg: Any,
@@ -29,26 +39,54 @@ def run_training(
     steps_of: Optional[Callable[[Any], int]] = None,
     print_keys: Tuple[str, ...] = ("rollout/ep_reward",),
     logger: Optional[Logger] = None,
+    data_field_dims: Optional[Dict[str, int]] = None,
 ) -> Tuple[Any, Dict[str, float]]:
     """Returns (final runner, last eval metrics).
 
     Config knobs read here (all optional on cfg): ``total_timesteps``,
     ``eval_steps``, ``seed``, ``verbose``, ``checkpoint_dir`` (enables
     checkpointing), ``checkpoint_every`` (env steps between saves),
-    ``resume`` (restore the latest checkpoint before training).
+    ``resume`` (restore the latest checkpoint before training),
+    ``use_mesh`` (shard the env batch over every visible device —
+    implied by multi-host mode, distributed/multihost.py).
     """
+    is_main = jax.process_index() == 0
     own_logger = logger is None
     if own_logger:
-        logger = Logger(algo_name, cfg, use_wnb=getattr(cfg, "use_wnb", False))
+        logger = (
+            Logger(algo_name, cfg, use_wnb=getattr(cfg, "use_wnb", False))
+            if is_main else _NullLogger()
+        )
+    verbose = getattr(cfg, "verbose", False) and is_main
     key = jax.random.PRNGKey(cfg.seed)
     init_key, eval_key = jax.random.split(key)
-    runner = init(init_key)
+
+    use_mesh = (
+        getattr(cfg, "use_mesh", False) or jax.process_count() > 1
+    ) and data_field_dims is not None and jax.device_count() > 1
+    if use_mesh:
+        from cleanmarl_tpu.distributed.dp import global_runner_init, make_mesh
+
+        mesh = make_mesh()
+        # one global program materializes the runner in its production
+        # shardings: env batch over `data`, params replicated
+        runner = global_runner_init(init, init_key, mesh, data_field_dims)
+    else:
+        runner = init(init_key)
     if steps_of is None:
         steps_of = lambda r: int(r.step)  # noqa: E731
 
     ckpt = None
     done_steps = 0
     ckpt_dir = getattr(cfg, "checkpoint_dir", "")
+    if ckpt_dir and jax.process_count() > 1:
+        # orbax multi-host checkpointing needs per-deployment storage
+        # coordination (shared filesystem / GCS) — see MULTIHOST.md
+        print(
+            f"[{algo_name}] WARNING: checkpointing is single-host only for "
+            "now; disabling (see MULTIHOST.md)", flush=True,
+        )
+        ckpt_dir = ""
     if ckpt_dir:
         from cleanmarl_tpu.core.checkpoint import Checkpointer
 
@@ -81,7 +119,7 @@ def run_training(
             time.time() - t0, 1e-9
         )
         logger.log(metrics, env_steps)
-        if getattr(cfg, "verbose", False):
+        if verbose:
             parts = [f"[{algo_name}] step={env_steps}"]
             for k in print_keys:
                 if k in metrics:

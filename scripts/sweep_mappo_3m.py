@@ -1,71 +1,72 @@
-"""North-star sweep: recurrent MAPPO on 3m, a few candidate recipes.
+"""North-star hyperparameter sweep: recurrent MAPPO on 3m.
 
-Each config trains for ``STEPS`` env steps on the real chip and logs an
-eval curve to validation/sweep_mappo_3m.jsonl. Goal: find a recipe that
-pushes eval battle_won to ~0.95 (the reference-grade 3m win rate).
+One SUBPROCESS per config (VERDICT r1 weak-6: the round-1 in-process
+sweep died on a backend re-init and produced zero data; here a backend
+failure costs one config). Runs sequentially — only one JAX process may
+claim the TPU at a time. Appends one line per config to
+validation/sweep_mappo_3m.jsonl.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/sweep_mappo_3m.py
 """
+import itertools
 import json
 import os
+import subprocess
+import sys
 import time
 
-import jax
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "validation", "sweep_mappo_3m.jsonl")
 
-from cleanmarl_tpu.algos.mappo import make_train
-from cleanmarl_tpu.algos.ppo_common import PPOConfig
+# the MAPPO-for-SMAC recipe space (Yu et al. 2021: higher entropy,
+# advantage normalization, more epochs) around the round-1 baseline
+GRID = [
+    dict(entropy_coef=e, epochs=ep, normalize_advantage=na, lr=lr)
+    for e, ep, na, lr in itertools.product(
+        [0.003, 0.01, 0.02], [4, 8], [0, 1], [5e-4]
+    )
+]
 
-STEPS = 10_000_000
 
-BASE = dict(
-    env_type="smaclite", env_name="3m", agent_ids=True,
-    recurrent=True, num_envs=256, rollout_len=60,
-    actor_hidden_dim=64, critic_hidden_dim=64,
-    learning_rate_actor=5e-4, learning_rate_critic=5e-4,
-    td_lambda=0.95, epochs=4,
-    total_timesteps=STEPS, log_interval=4,
-    num_eval_ep=64, seed=1, verbose=False,
-)
-
-CONFIGS = {
-    # the current (plateauing) recipe minus LR annealing
-    "A_norm_adv": dict(entropy_coef=0.003, normalize_advantage=True,
-                       clip_gradients=10.0),
-    # MAPPO-paper-style: higher entropy early, grad clip, adv norm
-    "B_ent01": dict(entropy_coef=0.01, normalize_advantage=True,
-                    clip_gradients=10.0),
-    # bigger brain + batch
-    "C_wide": dict(entropy_coef=0.003, normalize_advantage=True,
-                   clip_gradients=10.0, actor_hidden_dim=128,
-                   critic_hidden_dim=128, num_envs=512),
-}
-
-os.makedirs("validation", exist_ok=True)
-out = open("validation/sweep_mappo_3m.jsonl", "a")
-
-for name, overrides in CONFIGS.items():
-    cfg = PPOConfig(**{**BASE, **overrides})
-    init, train_block, eval_fn, meta = make_train(cfg)
-    runner = init(jax.random.PRNGKey(cfg.seed))
+def run_one(params: dict, budget: int, seed: int = 1) -> dict:
+    tag = "_".join(f"{k}{v}" for k, v in sorted(params.items()))
+    curve = os.path.join(REPO, "validation", f"sweep3m_{tag}_s{seed}.jsonl")
+    cmd = [
+        sys.executable, os.path.join(REPO, "scripts", "mappo_3m_run.py"),
+        "--out", curve, "--total_timesteps", str(budget),
+        "--seed", str(seed), "--stop_at", "0.97",
+    ]
+    for k, v in params.items():
+        cmd += [f"--{k}", str(v)]
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{REPO}:/root/.axon_site"
     t0 = time.time()
-    best = 0.0
-    num_blocks = cfg.total_timesteps // meta["steps_per_block"]
-    for block in range(num_blocks):
-        runner, metrics = train_block(runner)
-        if (block + 1) % 16 == 0:
-            ev = eval_fn(runner.actor_params, jax.random.PRNGKey(block))
-            won = float(ev["eval/battle_won"])
-            best = max(best, won)
-            rec = {
-                "config": name,
-                "env_steps": int(runner.step),
-                "wall_s": round(time.time() - t0, 1),
-                "eval_battle_won": won,
-                "eval_ep_reward": float(ev["eval/ep_reward"]),
-                "rollout_ep_reward": float(metrics["rollout/ep_reward"]),
-            }
-            out.write(json.dumps(rec) + "\n")
-            out.flush()
-            print(rec, flush=True)
-            if won >= 0.97:
-                break
-    print(f"== {name}: best eval battle_won {best}", flush=True)
-out.close()
+    try:
+        p = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=1200, env=env, cwd=REPO)
+    except subprocess.TimeoutExpired:
+        return {"params": params, "seed": seed, "error": "timeout"}
+    for line in p.stdout.splitlines():
+        if line.startswith("RESULT "):
+            res = json.loads(line[len("RESULT "):])
+            return {"params": params, "seed": seed, "best": res["best"],
+                    "final": res["final"], "wall_s": res["wall_s"],
+                    "curve": os.path.basename(curve)}
+    return {"params": params, "seed": seed, "error": "crashed",
+            "returncode": p.returncode, "tail": p.stdout[-500:] + p.stderr[-500:],
+            "wall_s": round(time.time() - t0, 1)}
+
+
+def main():
+    budget = int(os.environ.get("SWEEP_BUDGET", 20_000_000))
+    out = open(OUT, "a")
+    for params in GRID:
+        res = run_one(params, budget)
+        out.write(json.dumps(res) + "\n")
+        out.flush()
+        print(json.dumps(res), flush=True)
+    out.close()
+
+
+if __name__ == "__main__":
+    main()

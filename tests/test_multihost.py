@@ -1,0 +1,82 @@
+"""Real multi-process execution: 2 processes × 4 virtual CPU devices
+form one 8-device global mesh via jax.distributed (Gloo collectives),
+driven through the actual product CLI (--coordinator_address/...).
+
+This validates the whole multi-host path end-to-end on localhost — the
+same code that runs on a TPU pod slice (MULTIHOST.md): cli() bootstraps
+jax.distributed, the driver builds the global mesh, init lands in global
+shardings, the jitted train block is one SPMD program across processes.
+"""
+import json
+import os
+import re
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+CLI = [
+    "-m", "cleanmarl_tpu.algos.mappo",
+    "--env_type", "matrix", "--num_envs", "16",
+    "--total_timesteps", "4096", "--log_interval", "2",
+    "--eval_steps", "1000000", "--seed", "0", "--verbose", "true",
+]
+
+
+def _env(n_local_devices: int):
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""      # skip TPU-tunnel registration
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={n_local_devices}"
+    )
+    env["PYTHONPATH"] = str(REPO)
+    return env
+
+
+def _last_ep_reward(stdout: str) -> float:
+    rewards = re.findall(r"ep_reward=([-\d.]+)", stdout)
+    assert rewards, f"no progress lines in:\n{stdout}"
+    return float(rewards[-1])
+
+
+@pytest.mark.slow
+def test_two_process_cluster_matches_single_process():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    # 2 processes × 4 devices, driven through the real CLI
+    procs = [
+        subprocess.Popen(
+            [sys.executable, *CLI,
+             "--coordinator_address", f"localhost:{port}",
+             "--num_processes", "2", "--process_id", str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=_env(4), cwd=REPO,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+
+    # only process 0 prints progress / owns logging
+    assert "[MAPPO]" in outs[0]
+    assert "[MAPPO]" not in outs[1]
+
+    # single-process 8-device mesh reference (same global semantics)
+    ref = subprocess.run(
+        [sys.executable, *CLI, "--use_mesh", "true"],
+        capture_output=True, text=True, env=_env(8), cwd=REPO, timeout=600,
+    )
+    assert ref.returncode == 0, ref.stdout[-3000:] + ref.stderr[-2000:]
+
+    np.testing.assert_allclose(
+        _last_ep_reward(outs[0]), _last_ep_reward(ref.stdout), rtol=2e-3
+    )
