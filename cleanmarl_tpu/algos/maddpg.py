@@ -80,6 +80,7 @@ class MADDPGConfig:
     use_wnb: bool = False           # Weights & Biases logging (vdn.py:67-71)
     wnb_project: str = ""
     wnb_entity: str = ""
+    profile_dir: str = ""           # jax.profiler trace of one train block
     use_mesh: bool = False          # shard the env batch over all devices
     coordinator_address: str = ""   # multi-host: jax.distributed coordinator
     num_processes: int = 1          # multi-host: total process count

@@ -95,6 +95,7 @@ class PPOConfig:
     use_wnb: bool = False           # Weights & Biases logging (vdn.py:67-71)
     wnb_project: str = ""
     wnb_entity: str = ""
+    profile_dir: str = ""           # jax.profiler trace of one train block
     use_mesh: bool = False          # shard the env batch over all devices
     coordinator_address: str = ""   # multi-host: jax.distributed coordinator
     num_processes: int = 1          # multi-host: total process count
@@ -368,6 +369,30 @@ def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
         }
         return runner.replace(stats=runner.stats.flush()), metrics
 
+    def phase_timer(runner, iters: int = 3):
+        """Per-phase wall time (rollout vs PPO update), measured on
+        separately-jitted phases — SURVEY §5.1. The production block
+        fuses both into one XLA program; this is the diagnostic split."""
+        rollout_jit = jax.jit(collect_rollout)
+        update_jit = jax.jit(ppo_update)
+        out = rollout_jit(runner)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            jax.block_until_ready(rollout_jit(runner))
+        rollout_s = (time.perf_counter() - t0) / iters
+        r2, traj, h0 = rollout_jit(runner)
+        jax.block_until_ready(update_jit(r2, traj, h0))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            jax.block_until_ready(update_jit(r2, traj, h0))
+        update_s = (time.perf_counter() - t0) / iters
+        return {
+            "perf/rollout_s": rollout_s,
+            "perf/update_s": update_s,
+            "perf/rollout_frac": rollout_s / max(rollout_s + update_s, 1e-9),
+        }
+
     def sampled_policy(params, carry, obs, avail, key):
         carry, logits = actor_step(params, carry, obs, avail)
         return carry, jax.random.categorical(key, logits).astype(jnp.int32)
@@ -382,6 +407,7 @@ def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
         "rollout_len": rollout_len,
         "steps_per_block": rollout_len * cfg.num_envs * cfg.log_interval,
         "algo_name": algo_name,
+        "phase_timer": phase_timer,
     }
     return init, train_block, eval_fn, meta
 
@@ -399,4 +425,5 @@ def train(cfg: PPOConfig, env=None, centralized: bool = False,
         print_keys=("rollout/ep_reward", "train/actor_loss"),
         logger=logger,
         data_field_dims=DATA_FIELD_DIMS["PPO"],
+        phase_timer=meta["phase_timer"],
     )

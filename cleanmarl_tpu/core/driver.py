@@ -40,6 +40,7 @@ def run_training(
     print_keys: Tuple[str, ...] = ("rollout/ep_reward",),
     logger: Optional[Logger] = None,
     data_field_dims: Optional[Dict[str, int]] = None,
+    phase_timer: Optional[Callable[[Any], Dict[str, float]]] = None,
 ) -> Tuple[Any, Dict[str, float]]:
     """Returns (final runner, last eval metrics).
 
@@ -107,10 +108,23 @@ def run_training(
         1, getattr(cfg, "checkpoint_every", 0) // steps_per_block
     ) if ckpt_dir else 0
     eval_metrics: Dict[str, float] = {}
+    profile_dir = getattr(cfg, "profile_dir", "")
     t0 = time.time()
     steps0 = None
     for block in range(num_blocks):
-        runner, metrics = train_block(runner)
+        if profile_dir and block == 1:
+            # block 0 paid compilation; trace one steady-state block
+            # (viewable in TensorBoard's profile plugin)
+            with jax.profiler.trace(profile_dir):
+                runner, metrics = train_block(runner)
+                jax.block_until_ready(metrics)
+            if phase_timer is not None:
+                phases = {k: float(v) for k, v in phase_timer(runner).items()}
+                logger.log(phases, steps_of(runner))
+                if verbose:
+                    print(f"[{algo_name}] phases: {phases}", flush=True)
+        else:
+            runner, metrics = train_block(runner)
         env_steps = steps_of(runner)
         if steps0 is None:
             steps0 = env_steps - steps_per_block

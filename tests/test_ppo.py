@@ -136,3 +136,16 @@ def test_normalize_flags_run_and_learn():
         assert np.isfinite(float(v)), metrics
     out = eval_fn(runner.actor_params, jax.random.PRNGKey(1))
     assert float(out["eval/ep_reward"]) > 6.0, dict(out)
+
+
+def test_phase_timer_reports_rollout_and_update():
+    """SURVEY §5.1: per-phase diagnostic timing on the PPO path."""
+    env = MatrixGame(n_agents=2, n_actions=3, episode_limit=8)
+    cfg = PPOConfig(env_type="matrix", num_envs=4, total_timesteps=512,
+                    log_interval=1, seed=0)
+    init, train_block, eval_fn, meta = make_mappo(cfg, env)
+    runner = init(jax.random.PRNGKey(0))
+    phases = meta["phase_timer"](runner, iters=1)
+    assert phases["perf/rollout_s"] > 0
+    assert phases["perf/update_s"] > 0
+    assert 0.0 < phases["perf/rollout_frac"] < 1.0
