@@ -22,11 +22,14 @@ def main():
     ap.add_argument("--total_timesteps", type=int, default=20_000_000)
     ap.add_argument("--num_envs", type=int, default=256)
     ap.add_argument("--rollout_len", type=int, default=60)
+    # Defaults = the winning recipe from the round-2 sweep
+    # (validation/sweep_mappo_3m.jsonl: entropy_coef=0.003, epochs=8,
+    # normalize_advantage=1, lr=5e-4 → battle_won 1.0 by ~13M steps).
     ap.add_argument("--lr", type=float, default=5e-4)
     ap.add_argument("--entropy_coef", type=float, default=0.003)
-    ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument("--epochs", type=int, default=8)
     ap.add_argument("--td_lambda", type=float, default=0.95)
-    ap.add_argument("--normalize_advantage", type=int, default=0)
+    ap.add_argument("--normalize_advantage", type=int, default=1)
     ap.add_argument("--normalize_reward", type=int, default=0)
     ap.add_argument("--hidden", type=int, default=64)
     ap.add_argument("--tbptt", type=int, default=0)
