@@ -83,6 +83,7 @@ class PPOConfig:
     normalize_return: bool = False   # standardize critic targets (ippo.py:416-419)
     ppo_clip: float = 0.2
     entropy_coef: float = 0.001
+    anneal_entropy: bool = False     # linear entropy-coef decay to 0 over the run
     epochs: int = 3
     anneal_lr: bool = False          # linear LR decay to 0 over the run
     clip_gradients: float = -1.0
@@ -132,10 +133,10 @@ def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
                             env_family=cfg.env_family)
     vec = as_vec(env, cfg.num_envs)
     rollout_len = cfg.rollout_len or env.episode_limit
-    n_updates = (
-        cfg.epochs * (cfg.total_timesteps // (rollout_len * cfg.num_envs))
-        if cfg.anneal_lr else 0
+    total_updates = cfg.epochs * max(
+        cfg.total_timesteps // (rollout_len * cfg.num_envs), 1
     )
+    n_updates = total_updates if cfg.anneal_lr else 0
     actor_opt = make_optimizer(
         cfg.optimizer, cfg.learning_rate_actor, cfg.clip_gradients, n_updates
     )
@@ -289,6 +290,15 @@ def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
             ret_am = returns.mean(axis=-1)
             returns = (returns - ret_am.mean()) / (ret_am.std() + 1e-8)
 
+        # entropy-coef schedule: sharpens the late policy so the sampled
+        # eval converges toward the greedy one (an option the reference
+        # lacks; off by default — no behavior change unless enabled)
+        ent_coef = cfg.entropy_coef
+        if cfg.anneal_entropy:
+            ent_coef = cfg.entropy_coef * jnp.clip(
+                1.0 - runner.num_updates / total_updates, 0.0, 1.0
+            )
+
         def actor_loss_fn(actor_params):
             logits = actor_logits_seq(
                 actor_params, h0, traj["obs"], traj["avail"], traj["ended"]
@@ -304,7 +314,7 @@ def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
             pg = jnp.minimum(pg1, pg2).mean()
             p = jnp.exp(logp_all)
             entropy = -jnp.sum(p * logp_all, axis=-1).mean()
-            loss = -pg - cfg.entropy_coef * entropy
+            loss = -pg - ent_coef * entropy
             kl = ((ratio - 1.0) - log_ratio).mean()
             clipped = (jnp.abs(ratio - 1.0) > cfg.ppo_clip).astype(jnp.float32).mean()
             return loss, (entropy, kl, clipped)

@@ -27,6 +27,7 @@ def main():
     # normalize_advantage=1, lr=5e-4 → battle_won 1.0 by ~13M steps).
     ap.add_argument("--lr", type=float, default=5e-4)
     ap.add_argument("--entropy_coef", type=float, default=0.003)
+    ap.add_argument("--anneal_entropy", type=int, default=0)
     ap.add_argument("--epochs", type=int, default=8)
     ap.add_argument("--td_lambda", type=float, default=0.95)
     ap.add_argument("--normalize_advantage", type=int, default=1)
@@ -45,6 +46,7 @@ def main():
         actor_hidden_dim=args.hidden, critic_hidden_dim=args.hidden,
         learning_rate_actor=args.lr, learning_rate_critic=args.lr,
         entropy_coef=args.entropy_coef, td_lambda=args.td_lambda,
+        anneal_entropy=bool(args.anneal_entropy),
         epochs=args.epochs, anneal_lr=bool(args.anneal_lr),
         normalize_advantage=bool(args.normalize_advantage),
         normalize_reward=bool(args.normalize_reward),

@@ -19,22 +19,34 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, "validation", "sweep_mappo_3m.jsonl")
 
 # the MAPPO-for-SMAC recipe space (Yu et al. 2021: higher entropy,
-# advantage normalization, more epochs) around the round-1 baseline
+# advantage normalization, more epochs) around the round-1 baseline.
+# Sweep round 2: the epochs=8 + adv-norm recipe sustains ~0.87 with a
+# stochastic eval policy; anneal entropy (sharpen the late policy) and
+# try more capacity, across seeds.
 GRID = [
-    dict(entropy_coef=e, epochs=ep, normalize_advantage=na, lr=lr)
-    for e, ep, na, lr in itertools.product(
-        [0.003, 0.01, 0.02], [4, 8], [0, 1], [5e-4]
-    )
+    dict(entropy_coef=0.003, epochs=8, normalize_advantage=1, lr=5e-4,
+         anneal_entropy=ae, hidden=h, seed=s)
+    for ae, h, s in itertools.product([1, 0], [64, 128], [1, 2])
 ]
 
 
-def run_one(params: dict, budget: int, seed: int = 1) -> dict:
+def tail_mean(curve_path: str, k: int = 5) -> float:
+    """Mean eval battle_won over the last k evals — the 'sustained'
+    score (a lucky single eval at the stop threshold is not)."""
+    rows = [json.loads(l) for l in open(curve_path)]
+    tail = [r["eval_battle_won"] for r in rows[-k:]]
+    return sum(tail) / max(len(tail), 1)
+
+
+def run_one(params: dict, budget: int) -> dict:
+    params = dict(params)
+    seed = params.pop("seed", 1)
     tag = "_".join(f"{k}{v}" for k, v in sorted(params.items()))
     curve = os.path.join(REPO, "validation", f"sweep3m_{tag}_s{seed}.jsonl")
     cmd = [
         sys.executable, os.path.join(REPO, "scripts", "mappo_3m_run.py"),
         "--out", curve, "--total_timesteps", str(budget),
-        "--seed", str(seed), "--stop_at", "0.97",
+        "--seed", str(seed), "--stop_at", "2.0",
     ]
     for k, v in params.items():
         cmd += [f"--{k}", str(v)]
@@ -50,8 +62,8 @@ def run_one(params: dict, budget: int, seed: int = 1) -> dict:
         if line.startswith("RESULT "):
             res = json.loads(line[len("RESULT "):])
             return {"params": params, "seed": seed, "best": res["best"],
-                    "final": res["final"], "wall_s": res["wall_s"],
-                    "curve": os.path.basename(curve)}
+                    "final": res["final"], "tail_mean": tail_mean(curve),
+                    "wall_s": res["wall_s"], "curve": os.path.basename(curve)}
     return {"params": params, "seed": seed, "error": "crashed",
             "returncode": p.returncode, "tail": p.stdout[-500:] + p.stderr[-500:],
             "wall_s": round(time.time() - t0, 1)}

@@ -138,6 +138,20 @@ def test_normalize_flags_run_and_learn():
     assert float(out["eval/ep_reward"]) > 6.0, dict(out)
 
 
+def test_anneal_entropy_learns_and_sharpens():
+    """anneal_entropy decays the entropy bonus to 0 over the run: the
+    policy still learns, and ends sharper (lower entropy) than the
+    constant-coef run from the same seed."""
+    env = MatrixGame(n_agents=2, n_actions=3, episode_limit=8)
+    _, _, m_const = run_to_convergence(make_ippo, ppo_cfg(), env)
+    runner, eval_fn, m_anneal = run_to_convergence(
+        make_ippo, ppo_cfg(anneal_entropy=True), env
+    )
+    out = eval_fn(runner.actor_params, jax.random.PRNGKey(1))
+    assert float(out["eval/ep_reward"]) > 6.8, dict(out)
+    assert float(m_anneal["train/entropy"]) < float(m_const["train/entropy"])
+
+
 def test_phase_timer_reports_rollout_and_update():
     """SURVEY §5.1: per-phase diagnostic timing on the PPO path."""
     env = MatrixGame(n_agents=2, n_actions=3, episode_limit=8)
