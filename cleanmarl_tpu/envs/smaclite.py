@@ -41,9 +41,21 @@ SMAC interface contract the wrapper exposes:
 - **battle_won** in the info dict (smaclite_wrapper drives the
   reference's rollout/eval battle_won scalars, vdn.py:347-352).
 
-Maps: marine matchups ``{n}m`` / ``{n}m_vs_{m}m`` (3m, 8m, 5m_vs_6m)
-and Protoss mixes ``{a}s{b}z`` (2s3z, 3s5z — stalkers+zealots,
-mirrored teams).
+Maps: marine matchups ``{n}m`` / ``{n}m_vs_{m}m`` (3m, 8m, 5m_vs_6m),
+Protoss mixes ``{a}s{b}z`` (2s3z, 3s5z — stalkers+zealots, mirrored
+teams), and the Terran MMM class (``MMM`` mirror, ``MMM2`` asymmetric:
+medivac + marauders + marines — smaclite_wrapper.py:14 loads any
+smaclite map name, so the grammar here covers every SMAC map family the
+reference's experiments use).
+
+**Healers (medivac):** a unit whose type sets ``heal=True`` repurposes
+its attack actions as heal orders on *allies* (SMAC's medivac
+semantics): action ``6+j`` heals ally j (never itself, never another
+healer), restoring ``dmg`` hp per shot up to the target's max. Healing
+grants no reward; the scripted enemy team's medivac follows its most
+damaged living teammate and heals it. Healer-free maps compile to
+exactly the same XLA program as before (all healer paths are gated on
+Python-level booleans).
 """
 from __future__ import annotations
 
@@ -61,11 +73,16 @@ from cleanmarl_tpu.types import TimeStep
 # weapon range) — SMAC unit data mapped onto the one-attack-per-step
 # timescale used here
 UNIT_TYPES = {
-    "marine":  dict(hp=45.0,  shield=0.0,  dmg=6.0,  cd=1.0, rng=6.0),
-    "stalker": dict(hp=80.0,  shield=80.0, dmg=13.0, cd=2.0, rng=6.0),
-    "zealot":  dict(hp=100.0, shield=50.0, dmg=16.0, cd=1.0, rng=1.5),
+    "marine":   dict(hp=45.0,  shield=0.0,  dmg=6.0,  cd=1.0, rng=6.0),
+    "stalker":  dict(hp=80.0,  shield=80.0, dmg=13.0, cd=2.0, rng=6.0),
+    "zealot":   dict(hp=100.0, shield=50.0, dmg=16.0, cd=1.0, rng=1.5),
+    "marauder": dict(hp=125.0, shield=0.0,  dmg=12.0, cd=2.0, rng=6.0),
+    # heal=True: ``dmg`` is hp healed per shot on an ALLY target
+    # (SC2 heal 12.6 hp/s ≈ 1.3× marine dps → 8 on this timescale)
+    "medivac":  dict(hp=150.0, shield=0.0,  dmg=8.0,  cd=1.0, rng=4.0,
+                     heal=True),
 }
-TYPE_ORDER = ("marine", "stalker", "zealot")
+TYPE_ORDER = ("marine", "stalker", "zealot", "marauder", "medivac")
 
 ORDER_RANGE = 6.0     # attack-order availability radius (SMAC shoot range)
 SIGHT_RANGE = 9.0
@@ -124,7 +141,19 @@ class MicroCombat(Environment):
         self.n_agents = len(ally_types)
         self.n_enemies = len(enemy_types)
         self.episode_limit = time_limit
-        self.n_actions = N_FIXED_ACTIONS + self.n_enemies
+        # healers target allies, so with an ally healer the target-action
+        # block must also cover the ally indices (SMAC keeps one shared
+        # action space; on every published MMM map n_enemies ≥ n_agents)
+        self.ally_heals = any(
+            UNIT_TYPES[t].get("heal", False) for t in ally_types
+        )
+        self.enemy_heals = any(
+            UNIT_TYPES[t].get("heal", False) for t in enemy_types
+        )
+        n_targets = self.n_enemies
+        if self.ally_heals:
+            n_targets = max(self.n_enemies, self.n_agents)
+        self.n_actions = N_FIXED_ACTIONS + n_targets
 
         ally_types, enemy_types = self.ally_types, self.enemy_types
         self.a_max_hp = _stat(ally_types, "hp")
@@ -137,6 +166,12 @@ class MicroCombat(Environment):
         self.e_dmg = _stat(enemy_types, "dmg")
         self.e_cd = _stat(enemy_types, "cd")
         self.e_rng = _stat(enemy_types, "rng")
+        self.a_heal = jnp.array(
+            [UNIT_TYPES[t].get("heal", False) for t in ally_types], jnp.bool_
+        )
+        self.e_heal = jnp.array(
+            [UNIT_TYPES[t].get("heal", False) for t in enemy_types], jnp.bool_
+        )
 
         all_types = set(ally_types) | set(enemy_types)
         self.has_shields = any(UNIT_TYPES[t]["shield"] > 0 for t in all_types)
@@ -212,6 +247,24 @@ class MicroCombat(Environment):
             s.ally_pos[:, None, :] - s.enemy_pos[None, :, :], axis=-1
         )                                                            # (A,E)
         attacks = (dist <= ORDER_RANGE) & enemy_alive[None, :] & alive[:, None]
+        n_tgt = self.n_actions - N_FIXED_ACTIONS
+        if self.ally_heals:
+            # healer rows: action 6+j = heal ally j (alive, in order
+            # range, not self, not another healer)
+            attacks = attacks & (~self.a_heal)[:, None]
+            dist_aa = jnp.linalg.norm(
+                s.ally_pos[:, None, :] - s.ally_pos[None, :, :], axis=-1
+            )                                                        # (A,A)
+            not_self = ~jnp.eye(self.n_agents, dtype=jnp.bool_)
+            heals = (
+                (dist_aa <= ORDER_RANGE) & alive[None, :] & alive[:, None]
+                & self.a_heal[:, None] & (~self.a_heal)[None, :] & not_self
+            )
+            pad_e = n_tgt - self.n_enemies
+            pad_a = n_tgt - self.n_agents
+            attacks = jnp.pad(attacks, ((0, 0), (0, pad_e)))
+            heals = jnp.pad(heals, ((0, 0), (0, pad_a)))
+            attacks = attacks | heals
         return jnp.concatenate([noop, stop, moves, attacks], axis=-1)
 
     # ------------------------------------------------------------------
@@ -240,7 +293,14 @@ class MicroCombat(Environment):
         delta_e = s.enemy_pos[None, :, :] - s.ally_pos[:, None, :]   # (A,E,2)
         dist_e = jnp.linalg.norm(delta_e, axis=-1)
         vis_e = (dist_e <= SIGHT_RANGE) & enemy_alive[None, :]
-        atk = avail[:, N_FIXED_ACTIONS:].astype(jnp.float32)
+        # per-enemy attackable bit (healer rows carry heal bits in the
+        # avail mask instead, so recompute the enemy-indexed version)
+        atk = (
+            (dist_e <= ORDER_RANGE) & enemy_alive[None, :] & alive[:, None]
+        )
+        if self.ally_heals:
+            atk = atk & (~self.a_heal)[:, None]
+        atk = atk.astype(jnp.float32)
         enemy_feats = jnp.concatenate(
             [
                 atk[..., None],
@@ -355,8 +415,19 @@ class MicroCombat(Environment):
         step_vec = MOVE_DIRS[dir_idx] * MOVE_AMOUNT * is_move[:, None]
 
         is_attack = actions >= N_FIXED_ACTIONS
-        target = jnp.clip(actions - N_FIXED_ACTIONS, 0, self.n_enemies - 1)
-        tgt_pos = s.enemy_pos[target]
+        t_e = jnp.clip(actions - N_FIXED_ACTIONS, 0, self.n_enemies - 1)
+        if self.ally_heals:
+            # healer rows read the target block as ALLY indices (heal)
+            t_a = jnp.clip(actions - N_FIXED_ACTIONS, 0, self.n_agents - 1)
+            tgt_pos = jnp.where(
+                self.a_heal[:, None], s.ally_pos[t_a], s.enemy_pos[t_e]
+            )
+            tgt_alive = jnp.where(
+                self.a_heal, s.ally_hp[t_a] > 0.0, s.enemy_hp[t_e] > 0.0
+            )
+        else:
+            tgt_pos = s.enemy_pos[t_e]
+            tgt_alive = s.enemy_hp[t_e] > 0.0
         to_tgt = tgt_pos - s.ally_pos
         tgt_dist = jnp.linalg.norm(to_tgt, axis=-1)
         out_of_range = tgt_dist > self.a_rng
@@ -366,15 +437,20 @@ class MicroCombat(Environment):
         )[:, None] * to_tgt / jnp.maximum(tgt_dist, 1e-6)[:, None] * MOVE_AMOUNT
         ally_pos = jnp.clip(s.ally_pos + step_vec + approach, 0.5, MAP_SIZE - 0.5)
 
-        # ---- ally attacks ---------------------------------------------
-        dist_after = jnp.linalg.norm(ally_pos - s.enemy_pos[target], axis=-1)
-        tgt_alive = s.enemy_hp[target] > 0.0
+        # ---- ally attacks / heals ---------------------------------------
+        dist_after = jnp.linalg.norm(ally_pos - tgt_pos, axis=-1)
         can_fire = (
             is_attack & alive & (s.ally_cd <= 0.0)
             & (dist_after <= self.a_rng) & tgt_alive
         )
-        dmg_out = jnp.zeros((self.n_enemies,)).at[target].add(
-            jnp.where(can_fire, self.a_dmg, 0.0)
+        atk_fire = can_fire
+        if self.ally_heals:
+            atk_fire = can_fire & ~self.a_heal
+            heal_out = jnp.zeros((self.n_agents,)).at[t_a].add(
+                jnp.where(can_fire & self.a_heal, self.a_dmg, 0.0)
+            )
+        dmg_out = jnp.zeros((self.n_enemies,)).at[t_e].add(
+            jnp.where(atk_fire, self.a_dmg, 0.0)
         )
         ally_cd = jnp.where(can_fire, self.a_cd, jnp.maximum(s.ally_cd - 1.0, 0.0))
 
@@ -430,10 +506,46 @@ class MicroCombat(Environment):
             enemy_alive2 & has_target
             & (tgt_dist <= self.e_rng) & (s.enemy_cd <= 0.0)
         )
+        if self.enemy_heals:
+            fire = fire & ~self.e_heal
         dmg_in = jnp.zeros((self.n_agents,)).at[target_a].add(
             jnp.where(fire, self.e_dmg, 0.0)
         )
-        enemy_cd = jnp.where(fire, self.e_cd, jnp.maximum(s.enemy_cd - 1.0, 0.0))
+        shooting = fire
+        if self.enemy_heals:
+            # the bot's medivac follows the most damaged living teammate
+            # (non-healer) and heals it when in range; with nobody hurt it
+            # sticks with its nearest living teammate
+            frac = enemy_hp / self.e_max_hp        # post-ally-damage health
+            mate_ok = enemy_alive2 & ~self.e_heal
+            damaged = mate_ok & (frac < 1.0)
+            has_damaged = jnp.any(damaged)
+            most_damaged = jnp.argmin(jnp.where(damaged, frac, jnp.inf))
+            dist_ee = jnp.linalg.norm(
+                s.enemy_pos[:, None, :] - s.enemy_pos[None, :, :], axis=-1
+            )                                                        # (E,E)
+            nearest_mate = jnp.argmin(
+                jnp.where(mate_ok[None, :], dist_ee, jnp.inf), axis=-1
+            )
+            follow_tgt = jnp.where(has_damaged, most_damaged, nearest_mate)
+            follow_pos = s.enemy_pos[follow_tgt]                     # (E,2)
+            fdist = jnp.linalg.norm(follow_pos - s.enemy_pos, axis=-1)
+            heal_fire = (
+                self.e_heal & enemy_alive2 & has_damaged
+                & (fdist <= self.e_rng) & (s.enemy_cd <= 0.0)
+            )
+            heal_in_e = jnp.zeros((self.n_enemies,)).at[follow_tgt].add(
+                jnp.where(heal_fire, self.e_dmg, 0.0)
+            )
+            enemy_hp = jnp.where(
+                enemy_hp > 0.0,
+                jnp.minimum(enemy_hp + heal_in_e, self.e_max_hp),
+                enemy_hp,
+            )
+            shooting = fire | heal_fire
+        enemy_cd = jnp.where(
+            shooting, self.e_cd, jnp.maximum(s.enemy_cd - 1.0, 0.0)
+        )
         # movement: close on the acquired target when out of weapon range;
         # with no target, attack-move toward the ally spawn point (SMAC
         # launches the bot with an attack-move order across the map)
@@ -441,22 +553,38 @@ class MicroCombat(Environment):
         dest = jnp.where(
             has_target[:, None], s.ally_pos[target_a], spawn_dest[None, :]
         )
+        no_tgt_move = ~has_target
+        move_tgt_dist = tgt_dist
+        if self.enemy_heals:
+            # medivacs shadow their heal/follow teammate, not the allies
+            dest = jnp.where(self.e_heal[:, None], follow_pos, dest)
+            move_tgt_dist = jnp.where(self.e_heal, fdist, tgt_dist)
+            has_target = has_target | self.e_heal
+            no_tgt_move = ~has_target
         to_dest = dest - s.enemy_pos
         norm = jnp.linalg.norm(to_dest, axis=-1, keepdims=True) + 1e-8
         advance = enemy_alive2 & (
-            (has_target & (tgt_dist > self.e_rng))
-            | (~has_target & (norm[:, 0] > MOVE_AMOUNT))
+            (has_target & (move_tgt_dist > self.e_rng))
+            | (no_tgt_move & (norm[:, 0] > MOVE_AMOUNT))
         )
         enemy_pos = jnp.clip(
             s.enemy_pos + to_dest / norm * MOVE_AMOUNT * advance[:, None],
             0.5, MAP_SIZE - 0.5,
         )
-        enemy_target = jnp.where(
-            enemy_alive2 & has_target, target_a, -1
-        ).astype(jnp.int32)
+        keep = enemy_alive2 & has_target
+        if self.enemy_heals:
+            keep = keep & ~self.e_heal   # healers re-pick every step
+        enemy_target = jnp.where(keep, target_a, -1).astype(jnp.int32)
         ally_hp, ally_shield, _ = self._apply_damage(
             s.ally_hp, s.ally_shield, dmg_in
         )
+        if self.ally_heals:
+            # heals land on this step's survivors (no resurrection)
+            ally_hp = jnp.where(
+                ally_hp > 0.0,
+                jnp.minimum(ally_hp + heal_out, self.a_max_hp),
+                ally_hp,
+            )
         ally_shield = jnp.where(
             (dmg_in <= 0.0) & (ally_hp > 0.0),
             jnp.minimum(ally_shield + SHIELD_REGEN, self.a_max_sh),
@@ -508,7 +636,15 @@ def make(map_name: str, time_limit: int = 150, **kwargs) -> Environment:
     if m:
         types = ["stalker"] * int(m.group(1)) + ["zealot"] * int(m.group(2))
         return MicroCombat(types, list(types), time_limit=time_limit)
+    # SMAC's Terran bio-ball maps (medivac + marauders + marines)
+    if map_name.upper() == "MMM":
+        types = ["medivac"] + ["marauder"] * 2 + ["marine"] * 7
+        return MicroCombat(types, list(types), time_limit=time_limit)
+    if map_name.upper() == "MMM2":
+        allies = ["medivac"] + ["marauder"] * 2 + ["marine"] * 7
+        enemies = ["medivac"] + ["marauder"] * 3 + ["marine"] * 8
+        return MicroCombat(allies, enemies, time_limit=time_limit)
     raise ValueError(
         f"unknown smaclite map {map_name!r}; supported: Nm (e.g. 3m, 8m), "
-        f"Nm_vs_Mm (e.g. 5m_vs_6m), and NsMz (e.g. 2s3z, 3s5z)"
+        f"Nm_vs_Mm (e.g. 5m_vs_6m), NsMz (e.g. 2s3z, 3s5z), MMM, MMM2"
     )

@@ -259,3 +259,91 @@ def test_3m_winnable_by_scripted_micro():
 
     wins = jax.jit(jax.vmap(one_ep))(jax.random.split(jax.random.PRNGKey(0), 256))
     assert float(wins.mean()) >= 0.95
+
+
+def test_mmm_map_dims_and_layout():
+    """Conformance pin: MMM (1 medivac + 2 marauders + 7 marines,
+    mirrored) — action/obs/state sizes follow the documented layout."""
+    env = smaclite.make("MMM")
+    assert env.n_agents == 10 and env.n_enemies == 10
+    assert env.n_actions == 6 + 10
+    # terran-only: no shields; 3 unit types → unit feat = 5+0+3 = 8
+    assert env._unit_feat == 8
+    assert env.obs_dim == 4 + 10 * 8 + 9 * 8 + (1 + 0 + 3)
+    assert env.state_dim == 10 * (4 + 3) + 10 * (3 + 3) + 10 * env.n_actions
+    s, ts = env.reset(jax.random.PRNGKey(0))
+    assert ts.obs.shape == (10, env.obs_dim)
+    assert ts.state.shape == (env.state_dim,)
+    assert ts.avail.shape == (10, env.n_actions)
+
+
+def test_mmm2_asymmetric_dims():
+    env = smaclite.make("MMM2")
+    assert env.n_agents == 10 and env.n_enemies == 12
+    assert env.n_actions == 6 + 12
+    assert env.obs_dim == 4 + 12 * 8 + 9 * 8 + (1 + 0 + 3)
+
+
+def test_medivac_heals_ally_not_enemies():
+    """The medivac's target actions heal allies (never attack): healing
+    restores hp up to max, yields no reward, and its avail-mask targets
+    are ally-indexed."""
+    env = smaclite.make("MMM")
+    s, _ = env.reset(jax.random.PRNGKey(0))
+    # wound marine #5 and park the medivac (#0) on top of it; enemies
+    # spawn ~14 units away (out of sight), so no combat this step
+    s = s.replace(
+        ally_hp=s.ally_hp.at[5].set(10.0),
+        ally_pos=s.ally_pos.at[0].set(s.ally_pos[5] + 1.0),
+    )
+    avail = np.asarray(env._avail(s))
+    assert avail[0, N_FIXED_ACTIONS + 5]          # heal wounded marine
+    assert not avail[0, N_FIXED_ACTIONS + 0]      # never itself
+    # a marine's target block is enemy-indexed: nothing in range at spawn
+    assert not avail[3, N_FIXED_ACTIONS:].any()
+    actions = jnp.ones((10,), jnp.int32).at[0].set(N_FIXED_ACTIONS + 5)
+    s2, ts = env.step(s, actions, jax.random.PRNGKey(1))
+    assert float(s2.ally_hp[5]) == 10.0 + smaclite.UNIT_TYPES["medivac"]["dmg"]
+    assert float(ts.reward) == 0.0                # healing earns nothing
+    # heal is capped at max hp
+    s3 = s.replace(ally_hp=s.ally_hp.at[5].set(44.0))
+    s4, _ = env.step(s3, actions, jax.random.PRNGKey(1))
+    assert float(s4.ally_hp[5]) == smaclite.UNIT_TYPES["marine"]["hp"]
+
+
+def test_enemy_medivac_heals_its_team():
+    """The scripted bot's medivac follows and heals its most damaged
+    living teammate."""
+    env = smaclite.make("MMM")
+    s, _ = env.reset(jax.random.PRNGKey(0))
+    # wound enemy marine #5; park the enemy medivac (#0) next to it;
+    # allies far away → bot has no combat targets
+    s = s.replace(
+        enemy_hp=s.enemy_hp.at[5].set(10.0),
+        enemy_pos=s.enemy_pos.at[0].set(s.enemy_pos[5] + 1.0),
+    )
+    actions = jnp.ones((10,), jnp.int32)  # allies all stop
+    s2, _ = env.step(s, actions, jax.random.PRNGKey(1))
+    assert float(s2.enemy_hp[5]) == 10.0 + smaclite.UNIT_TYPES["medivac"]["dmg"]
+
+
+def test_mmm_episode_runs_and_terminates():
+    """Full MMM episodes run under the vectorized auto-reset wrapper and
+    resolve (someone wins or the clock runs out) with finite rewards."""
+    env = smaclite.make("MMM", time_limit=60)
+    vec = VecEnv(env, 4)
+    key = jax.random.PRNGKey(0)
+    es, ts = vec.reset(key)
+
+    def step(carry, _):
+        es, ts, key = carry
+        key, k1, k2 = jax.random.split(key, 3)
+        # uniform random over available actions
+        logits = jnp.where(ts.avail, 0.0, -1e9)
+        acts = jax.random.categorical(k1, logits).astype(jnp.int32)
+        es, ts2, _ = vec.step(es, acts, k2)
+        return (es, ts2, key), (ts2.reward, ts2.done | ts2.truncated)
+
+    (_, _, _), (rews, endeds) = jax.lax.scan(step, (es, ts, key), None, length=120)
+    assert np.isfinite(np.asarray(rews)).all()
+    assert np.asarray(endeds).any()      # episodes end within 2× limit
