@@ -326,29 +326,52 @@ def make_train(cfg: MADDPGConfig, env=None):
         step = runner.step + 1
         episodes = runner.episodes + jnp.sum(ended.astype(jnp.int32))
 
-        crossed = (episodes // cfg.train_freq) > (runner.episodes // cfg.train_freq)
+        # cadence: one update per train_freq COMPLETED EPISODES
+        # (maddpg.py:334). Synchronized vectorized envs can finish many
+        # episodes in one iteration (MPE: all num_envs truncate together),
+        # so run one update per crossing — up to num_envs per iteration —
+        # rather than collapsing the burst into a single update.
         warm = ring.size >= cfg.batch_size
-        do_update = jnp.logical_and(crossed, warm)
+        due = jnp.where(
+            warm,
+            episodes // cfg.train_freq - runner.episodes // cfg.train_freq,
+            0,
+        )
+
+        def update_slot(carry, inp):
+            i, k = inp
+            r = runner.replace(
+                actor_params=carry[0], critic_params=carry[1],
+                actor_opt=carry[2], critic_opt=carry[3],
+            )
+            return jax.lax.cond(
+                i < due, lambda: update(r, ring, k), lambda: carry
+            ), None
+
+        carry0 = (
+            runner.actor_params, runner.critic_params,
+            runner.actor_opt, runner.critic_opt,
+            runner.last_actor_loss, runner.last_critic_loss,
+            runner.last_actor_gnorm, runner.last_critic_gnorm,
+        )
+        slot_keys = jax.random.split(k_upd, cfg.num_envs)
         (actor_params, critic_params, a_opt, c_opt,
-         a_loss, c_loss, a_gnorm, c_gnorm) = jax.lax.cond(
-            do_update,
-            lambda: update(runner, ring, k_upd),
-            lambda: (
-                runner.actor_params, runner.critic_params,
-                runner.actor_opt, runner.critic_opt,
-                runner.last_actor_loss, runner.last_critic_loss,
-                runner.last_actor_gnorm, runner.last_critic_gnorm,
-            ),
+         a_loss, c_loss, a_gnorm, c_gnorm), _ = jax.lax.scan(
+            update_slot, carry0, (jnp.arange(cfg.num_envs), slot_keys)
         )
-        crossed_t = (episodes // cfg.target_network_update_freq) > (
-            runner.episodes // cfg.target_network_update_freq
+        # k polyak steps collapse exactly to one with 1-(1-τ)^k
+        due_t = jnp.where(
+            warm,
+            episodes // cfg.target_network_update_freq
+            - runner.episodes // cfg.target_network_update_freq,
+            0,
         )
-        do_polyak = jnp.logical_and(crossed_t, warm)
+        tau_eff = 1.0 - jnp.power(1.0 - cfg.polyak, due_t.astype(jnp.float32))
         target_actor, target_critic = jax.lax.cond(
-            do_polyak,
+            due_t > 0,
             lambda: (
-                nets.soft_update(runner.target_actor, actor_params, cfg.polyak),
-                nets.soft_update(runner.target_critic, critic_params, cfg.polyak),
+                nets.soft_update(runner.target_actor, actor_params, tau_eff),
+                nets.soft_update(runner.target_critic, critic_params, tau_eff),
             ),
             lambda: (runner.target_actor, runner.target_critic),
         )
@@ -361,7 +384,7 @@ def make_train(cfg: MADDPGConfig, env=None):
             stats=stats, step=step, episodes=episodes,
             last_actor_loss=a_loss, last_critic_loss=c_loss,
             last_actor_gnorm=a_gnorm, last_critic_gnorm=c_gnorm,
-            num_updates=runner.num_updates + do_update.astype(jnp.float32),
+            num_updates=runner.num_updates + due.astype(jnp.float32),
             key=key,
         )
         return runner, None

@@ -66,6 +66,18 @@ class QMIXConfig:
     target_network_update_freq: int = 1  # polyak every N completed episodes
     polyak: float = 0.01
     normalize_reward: bool = False   # per-batch masked standardize (qmix.py:190)
+    hard_target: bool = False        # periodic hard target copy instead of
+    # polyak — the pymarl-lineage stabilizer for mixer bootstrap drift;
+    # target_network_update_freq then means episodes between full copies
+    double_q: bool = True            # Double Q-learning targets (pymarl
+    # default; the reference's plain max, double_q=False, diverges on
+    # dense-negative-reward envs — maximization bias compounds through
+    # the mixer)
+    bootstrap_truncation: bool = False  # True = the reference's raw-done
+    # storage (qmix.py:362): truncation bootstraps through (infinite-
+    # horizon values, a divergence channel on always-truncating envs).
+    # False (default) cuts the target at time limits (episodic values,
+    # as MADDPG/FACMAC here already do via `ended`).
     memefficient: bool = False       # store-once episode layout (qmix_memefficient.py)
     clip_gradients: float = -1.0
     log_interval: int = 500
@@ -186,10 +198,24 @@ def make_train(cfg: QMIXConfig, env=None):
             next_state = batch["next_state"]
             next_avail = batch["next_avail"]
             has_next = jnp.ones_like(mask)
-        q_next = nets.masked_q(
+        q_next_t = nets.masked_q(
             nets.mlp_apply(target_params["q"], next_obs), next_avail
         )
-        q_next_max = q_next.max(axis=-1)                          # (B,T,n)
+        if cfg.double_q:
+            # Double Q: argmax by the ONLINE net, value by the TARGET
+            # net (pymarl's qmix default). Plain max diverges here: the
+            # per-step maximization bias δ compounds through the mixer
+            # (qtot_next − qtot ≈ +37 > |r| persistently on
+            # simple_spread, Q_tot → +∞; see test_qmix_double_q_*).
+            q_next_o = nets.masked_q(
+                nets.mlp_apply(params["q"], next_obs), next_avail
+            )
+            a_star = jnp.argmax(q_next_o, axis=-1)
+            q_next_max = jnp.take_along_axis(
+                q_next_t, a_star[..., None], axis=-1
+            )[..., 0]                                             # (B,T,n)
+        else:
+            q_next_max = q_next_t.max(axis=-1)                    # (B,T,n)
         qtot_next = nets.mixer_apply(
             target_params["mixer"], q_next_max, next_state
         )                                                         # (B,T)
@@ -224,7 +250,7 @@ def make_train(cfg: QMIXConfig, env=None):
             "state": runner.state,
             "action": actions,
             "reward": ts2.reward,
-            "done": ts2.done,
+            "done": ts2.done if cfg.bootstrap_truncation else ended,
         }
         if cfg.memefficient:
             record["avail"] = runner.avail.astype(jnp.bool_)
@@ -241,30 +267,55 @@ def make_train(cfg: QMIXConfig, env=None):
         step = runner.step + 1
         episodes = runner.episodes + jnp.sum(ended.astype(jnp.int32))
 
-        # cadence: fire when the completed-episode counter crosses a
-        # multiple of train_freq (≥1 episode may finish per iteration)
-        crossed = (episodes // cfg.train_freq) > (runner.episodes // cfg.train_freq)
+        # cadence: the reference updates once per train_freq COMPLETED
+        # EPISODES (qmix.py:377). Synchronized vectorized envs can finish
+        # many episodes in one iteration (MPE: all num_envs truncate
+        # together), so run one update per crossing — up to num_envs per
+        # iteration — rather than collapsing them into one. (Collapsing
+        # left the bootstrap ~num_envs× under-trained and Q_tot drifted
+        # optimistic without bound on simple_spread: +5 → +26 while true
+        # returns are negative; validation/tune_qmix_spread.jsonl.)
         warm = ring.size >= cfg.batch_size
-        do_update = jnp.logical_and(crossed, warm)
-        params, opt_state, loss, gnorm = jax.lax.cond(
-            do_update,
-            lambda: update(
-                runner.params, runner.target_params, runner.opt_state, ring, k_sample
-            ),
-            lambda: (
-                runner.params,
-                runner.opt_state,
-                runner.last_loss,
-                runner.last_gnorm,
-            ),
+        due = jnp.where(
+            warm,
+            episodes // cfg.train_freq - runner.episodes // cfg.train_freq,
+            0,
         )
-        crossed_t = (episodes // cfg.target_network_update_freq) > (
-            runner.episodes // cfg.target_network_update_freq
+
+        def update_slot(carry, inp):
+            params, opt_state, loss, gnorm = carry
+            i, k = inp
+            return jax.lax.cond(
+                i < due,
+                lambda: update(
+                    params, runner.target_params, opt_state, ring, k
+                ),
+                lambda: (params, opt_state, loss, gnorm),
+            ), None
+
+        slot_keys = jax.random.split(k_sample, cfg.num_envs)
+        (params, opt_state, loss, gnorm), _ = jax.lax.scan(
+            update_slot,
+            (runner.params, runner.opt_state, runner.last_loss,
+             runner.last_gnorm),
+            (jnp.arange(cfg.num_envs), slot_keys),
         )
-        do_polyak = jnp.logical_and(crossed_t, warm)
+        # k polyak steps collapse exactly to one with 1-(1-τ)^k
+        due_t = jnp.where(
+            warm,
+            episodes // cfg.target_network_update_freq
+            - runner.episodes // cfg.target_network_update_freq,
+            0,
+        )
+        if cfg.hard_target:
+            tau_eff = 1.0
+        else:
+            tau_eff = 1.0 - jnp.power(
+                1.0 - cfg.polyak, due_t.astype(jnp.float32)
+            )
         target_params = jax.lax.cond(
-            do_polyak,
-            lambda: nets.soft_update(runner.target_params, params, cfg.polyak),
+            due_t > 0,
+            lambda: nets.soft_update(runner.target_params, params, tau_eff),
             lambda: runner.target_params,
         )
         runner = runner.replace(
@@ -282,7 +333,7 @@ def make_train(cfg: QMIXConfig, env=None):
             episodes=episodes,
             last_loss=loss,
             last_gnorm=gnorm,
-            num_updates=runner.num_updates + do_update.astype(jnp.float32),
+            num_updates=runner.num_updates + due.astype(jnp.float32),
             key=key,
         )
         return runner, epsilon

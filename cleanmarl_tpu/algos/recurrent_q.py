@@ -70,6 +70,10 @@ class RecurrentQConfig:
     seq_length: int = 10             # chunk length (vdn_lstm.py:29-30)
     burn_in: int = 8                 # no-grad hidden warmup steps (vdn_lstm.py:31-32)
     normalize_reward: bool = False   # per-sampled-batch standardize (vdn_lstm.py:33)
+    bootstrap_truncation: bool = False  # True = the reference's raw-done
+    # storage: truncation bootstraps through (infinite-horizon values, a
+    # divergence channel on always-truncating envs). False (default) cuts
+    # the target at time limits (episodic values).
     num_envs: int = 16
     buffer_size: int = 2000          # episodes (or chunks when replay=sequence)
     total_timesteps: int = 1_000_000
@@ -341,7 +345,7 @@ def make_train(cfg: RecurrentQConfig, env=None):
             "state": runner.state,
             "action": actions,
             "reward": ts2.reward,
-            "done": ts2.done,
+            "done": ts2.done if cfg.bootstrap_truncation else ended,
             "next_obs": final.obs,
             "next_state": final.state,
             "next_avail": final.avail.astype(jnp.bool_),
@@ -353,33 +357,53 @@ def make_train(cfg: RecurrentQConfig, env=None):
         step = runner.step + 1
         episodes = runner.episodes + jnp.sum(ended.astype(jnp.int32))
 
+        warm = ring.size >= cfg.batch_size
         if use_seq:
             # vdn_lstm trains on an env-step cadence (vdn_lstm.py:383),
             # scaled here by the vectorized env batch
             crossed = jnp.mod(step, jnp.maximum(cfg.train_freq, 1)) == 0
+            due = jnp.where(warm & crossed, 1, 0)
         else:
-            crossed = (episodes // cfg.train_freq) > (
-                runner.episodes // cfg.train_freq
+            # one update per train_freq COMPLETED EPISODES; synchronized
+            # vectorized envs can finish many episodes in one iteration
+            # (MPE: all num_envs truncate together), so run one update
+            # per crossing — up to num_envs per iteration
+            due = jnp.where(
+                warm,
+                episodes // cfg.train_freq
+                - runner.episodes // cfg.train_freq,
+                0,
             )
-        warm = ring.size >= cfg.batch_size
-        do_update = jnp.logical_and(crossed, warm)
-        params, opt_state, loss, gnorm = jax.lax.cond(
-            do_update,
-            lambda: update(
-                runner.params, runner.target_params, runner.opt_state, ring, k_sample
-            ),
-            lambda: (
-                runner.params, runner.opt_state,
-                runner.last_loss, runner.last_gnorm,
-            ),
+
+        def update_slot(carry, inp):
+            params, opt_state, loss, gnorm = carry
+            i, k = inp
+            return jax.lax.cond(
+                i < due,
+                lambda: update(
+                    params, runner.target_params, opt_state, ring, k
+                ),
+                lambda: carry,
+            ), None
+
+        slot_keys = jax.random.split(k_sample, cfg.num_envs)
+        (params, opt_state, loss, gnorm), _ = jax.lax.scan(
+            update_slot,
+            (runner.params, runner.opt_state, runner.last_loss,
+             runner.last_gnorm),
+            (jnp.arange(cfg.num_envs), slot_keys),
         )
-        crossed_t = (episodes // cfg.target_network_update_freq) > (
-            runner.episodes // cfg.target_network_update_freq
+        # k polyak steps collapse exactly to one with 1-(1-τ)^k
+        due_t = jnp.where(
+            warm,
+            episodes // cfg.target_network_update_freq
+            - runner.episodes // cfg.target_network_update_freq,
+            0,
         )
-        do_polyak = jnp.logical_and(crossed_t, warm)
+        tau_eff = 1.0 - jnp.power(1.0 - cfg.polyak, due_t.astype(jnp.float32))
         target_params = jax.lax.cond(
-            do_polyak,
-            lambda: nets.soft_update(runner.target_params, params, cfg.polyak),
+            due_t > 0,
+            lambda: nets.soft_update(runner.target_params, params, tau_eff),
             lambda: runner.target_params,
         )
         runner = runner.replace(
@@ -388,7 +412,7 @@ def make_train(cfg: RecurrentQConfig, env=None):
             obs=ts2.obs, state=ts2.state, avail=ts2.avail, h=h2,
             stats=stats, step=step, episodes=episodes,
             last_loss=loss, last_gnorm=gnorm,
-            num_updates=runner.num_updates + do_update.astype(jnp.float32),
+            num_updates=runner.num_updates + due.astype(jnp.float32),
             key=key,
         )
         return runner, epsilon

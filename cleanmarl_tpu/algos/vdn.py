@@ -63,6 +63,12 @@ class VDNConfig:
     target_network_update_freq: int = 1  # polyak every N vectorized iters
     polyak: float = 0.005
     normalize_reward: bool = False       # per-batch standardize (vdn.py:138-143)
+    bootstrap_truncation: bool = False   # True = the reference's raw-done
+    # storage (vdn.py:285): time-limit truncation bootstraps through, so
+    # values are infinite-horizon (V ≈ r/(1−γ) on dense-reward envs) —
+    # a known divergence channel. False (default) treats the time limit
+    # as episodic: the stored done cuts the target at truncation, exactly
+    # as MADDPG/FACMAC here already do via their `ended` field.
     clip_gradients: float = 5.0
     log_interval: int = 500             # vectorized iters per host log
     eval_steps: int = 5000              # env transitions between evals
@@ -179,13 +185,16 @@ def make_train(cfg: VDNConfig, env=None):
         q = q_apply(runner.params, runner.obs)
         actions = eps_greedy(k_act, q, runner.avail, epsilon)
         env_state, ts2, final = vec.step(runner.env_state, actions, k_step)
+        cut = ts2.done if cfg.bootstrap_truncation else jnp.logical_or(
+            ts2.done, ts2.truncated
+        )
         transition = Transition(
             obs=runner.obs,
             state=runner.state,
             avail=runner.avail.astype(jnp.bool_),
             action=actions,
             reward=ts2.reward,
-            done=ts2.done,
+            done=cut,
             next_obs=final.obs,
             next_state=final.state,
             next_avail=final.avail.astype(jnp.bool_),

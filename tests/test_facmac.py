@@ -23,6 +23,12 @@ def test_facmac_learns_matrix_game():
         log_interval=100,
         num_eval_ep=8,
         seed=0,
+        # schedule is measured in UPDATES (facmac.py:66); with the
+        # per-episode update cadence, updates accrue num_envs× faster
+        # than before, so stretch the decay to keep ~60% of the run
+        # exploring (the default 750 collapses ε in the first tenth and
+        # seed 0 settles on the reward-5 joint action)
+        exploration_fraction=3000.0,
     )
     env = MatrixGame(n_agents=2, n_actions=3, episode_limit=8, mask_trick=False)
     init, train_block, eval_fn = make_train(cfg, env)

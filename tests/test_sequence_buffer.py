@@ -96,6 +96,9 @@ def test_vdn_rnn_sequence_replay_learns_matrix_game():
         total_timesteps=40_000, train_freq=1, batch_size=16,
         learning_rate=3e-3, exploration_fraction=0.3, hidden_dim=32,
         polyak=0.05, log_interval=100, num_eval_ep=8, seed=0,
+        # time-unaware MatrixGame obs: use the reference's infinite-
+        # horizon truncation semantics (see test_vdn.py smoke_cfg)
+        bootstrap_truncation=True,
     )
     init, train_block, eval_fn = make_train(cfg, env)
     runner = init(jax.random.PRNGKey(0))

@@ -29,6 +29,11 @@ def smoke_cfg(**kw):
         log_interval=100,
         num_eval_ep=8,
         seed=0,
+        # MatrixGame obs carry no time feature: episodic targets (the
+        # stabilizing default) alias the same obs to position-dependent
+        # values; the reference's infinite-horizon semantics are
+        # consistent here and reach the optimum
+        bootstrap_truncation=True,
     )
     base.update(kw)
     return VDNConfig(**base)
