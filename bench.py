@@ -77,12 +77,18 @@ def main():
     from cleanmarl_tpu.algos.mappo import make_train
     from cleanmarl_tpu.algos.ppo_common import PPOConfig
 
+    # the learning-validated north-star recipe (scripts/mappo_3m_run.py:
+    # hidden 128, 8 epochs — sustains eval battle_won 0.97-0.99), scaled
+    # out to the throughput-optimal env batch
     cfg = PPOConfig(
         env_type="smaclite",
         env_name="3m",
         agent_ids=True,
         recurrent=True,
         num_envs=8192,
+        actor_hidden_dim=128,
+        critic_hidden_dim=128,
+        epochs=8,
         total_timesteps=1_000_000_000,
         log_interval=2,
         seed=0,

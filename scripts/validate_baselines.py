@@ -1,0 +1,224 @@
+"""Learning-curve validation for the non-north-star BASELINE configs.
+
+BASELINE.md lists five reference configs to match; the north star
+(MAPPO/3m) has its own script (mappo_3m_run.py). This one covers the
+other four environments/algorithms:
+
+  vdn_spread    — VDN    @ MPE simple_spread_v3      (vdn.py:185 defaults)
+  qmix_spread   — QMIX   @ MPE simple_spread_v3      (qmix_multienvs.py)
+  ippo_lbf      — IPPO   @ LBF Foraging-8x8-2p-3f    (ippo_multienvs.py)
+  maddpg_sl     — MADDPG @ MPE simple_speaker_listener_v4 (maddpg_multienvs.py)
+  facmac_sl     — FACMAC @ MPE simple_speaker_listener_v4 (facmac_multienvs.py)
+
+Each run writes validation/<name>.jsonl (eval curve vs env steps) and
+prints ``RESULT {json}``; the converged tail mean is asserted against a
+per-config threshold so regressions fail loudly (VERDICT r1 missing-4).
+
+Usage:
+  python scripts/validate_baselines.py --config vdn_spread   # one run
+  python scripts/validate_baselines.py --all                 # subprocess per config
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# name -> (algo module, config kwargs, eval-reward threshold)
+# Thresholds are "sensible converged return" bars: comfortably above a
+# random policy, close to the converged value observed on these JAX env
+# ports (the reference publishes no in-tree numbers — BASELINE.md).
+CONFIGS = {
+    "vdn_spread": dict(
+        algo="vdn",
+        kwargs=dict(
+            env_type="mpe", env_name="simple_spread_v3",
+            num_envs=32, total_timesteps=2_000_000,
+            buffer_size=100_000, batch_size=4,
+            learning_starts=10_000, train_freq=1,
+            exploration_fraction=0.1, hidden_dim=64,
+            log_interval=200,
+        ),
+        threshold=-42.0,
+    ),
+    "qmix_spread": dict(
+        algo="qmix",
+        kwargs=dict(
+            env_type="mpe", env_name="simple_spread_v3",
+            num_envs=32, total_timesteps=2_000_000,
+            buffer_size=5_000, batch_size=32,
+            exploration_fraction=0.1, hidden_dim=64,
+            log_interval=40,
+        ),
+        threshold=-42.0,
+    ),
+    "ippo_lbf": dict(
+        algo="ippo",
+        kwargs=dict(
+            env_type="lbf", env_name="Foraging-8x8-2p-3f-v3",
+            num_envs=64, total_timesteps=2_000_000,
+            learning_rate_actor=5e-4, learning_rate_critic=5e-4,
+            entropy_coef=0.01, anneal_entropy=True, epochs=4,
+            normalize_advantage=True, actor_hidden_dim=64,
+            critic_hidden_dim=64, log_interval=4,
+        ),
+        threshold=0.8,   # fraction of food collected, optimum 1.0
+    ),
+    "maddpg_sl": dict(
+        algo="maddpg",
+        kwargs=dict(
+            env_type="mpe", env_name="simple_speaker_listener_v4",
+            num_envs=32, total_timesteps=2_000_000,
+            buffer_size=5_000, batch_size=32,
+            actor_hidden_dim=64, critic_hidden_dim=128,
+            log_interval=40,
+        ),
+        threshold=-30.0,
+    ),
+    "facmac_sl": dict(
+        algo="facmac",
+        kwargs=dict(
+            env_type="mpe", env_name="simple_speaker_listener_v4",
+            num_envs=32, total_timesteps=2_000_000,
+            buffer_size=5_000, batch_size=32,
+            actor_hidden_dim=64, critic_hidden_dim=128,
+            log_interval=40,
+        ),
+        threshold=-30.0,
+    ),
+}
+
+
+def build(algo: str, kwargs: dict):
+    """→ (cfg, init, train_block, eval_fn, steps_per_block, eval_params)."""
+    if algo == "vdn":
+        from cleanmarl_tpu.algos.vdn import VDNConfig, make_train
+        cfg = VDNConfig(**kwargs)
+        init, block, ev = make_train(cfg)
+        return cfg, init, block, ev, cfg.num_envs * cfg.log_interval, \
+            lambda r: r.params
+    if algo == "qmix":
+        from cleanmarl_tpu.algos.qmix import QMIXConfig, make_train
+        cfg = QMIXConfig(**kwargs)
+        init, block, ev = make_train(cfg)
+        return cfg, init, block, ev, cfg.num_envs * cfg.log_interval, \
+            lambda r: r.params
+    if algo == "ippo":
+        from cleanmarl_tpu.algos.ippo import make_train
+        from cleanmarl_tpu.algos.ppo_common import PPOConfig
+        cfg = PPOConfig(**kwargs)
+        init, block, ev, meta = make_train(cfg)
+        return cfg, init, block, ev, meta["steps_per_block"], \
+            lambda r: r.actor_params
+    if algo == "maddpg":
+        from cleanmarl_tpu.algos.maddpg import MADDPGConfig, make_train
+        cfg = MADDPGConfig(**kwargs)
+        init, block, ev = make_train(cfg)
+        return cfg, init, block, ev, cfg.num_envs * cfg.log_interval, \
+            lambda r: r.actor_params
+    if algo == "facmac":
+        from cleanmarl_tpu.algos.facmac import FACMACConfig, make_train
+        cfg = FACMACConfig(**kwargs)
+        init, block, ev = make_train(cfg)
+        return cfg, init, block, ev, cfg.num_envs * cfg.log_interval, \
+            lambda r: r.actor_params
+    raise ValueError(algo)
+
+
+def run_config(name: str, seed: int, num_eval_ep: int = 64) -> dict:
+    import jax
+
+    spec = CONFIGS[name]
+    kwargs = dict(spec["kwargs"], seed=seed, verbose=False,
+                  num_eval_ep=num_eval_ep)
+    if os.environ.get("BASELINES_BUDGET"):  # smoke-test override
+        kwargs["total_timesteps"] = int(os.environ["BASELINES_BUDGET"])
+    cfg, init, train_block, eval_fn, spb, eval_params = build(
+        spec["algo"], kwargs
+    )
+    runner = init(jax.random.PRNGKey(seed))
+    num_blocks = max(1, cfg.total_timesteps // spb)
+    eval_every = max(1, num_blocks // 40)
+    out_path = os.path.join(REPO, "validation", f"{name}.jsonl")
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    t0 = time.time()
+    curve = []
+    with open(out_path, "w") as out:
+        for block in range(num_blocks):
+            runner, metrics = train_block(runner)
+            if (block + 1) % eval_every == 0 or block == num_blocks - 1:
+                ev = eval_fn(eval_params(runner), jax.random.PRNGKey(block))
+                rec = {
+                    "env_steps": (block + 1) * spb,
+                    "wall_s": round(time.time() - t0, 1),
+                    "eval_ep_reward": float(ev["eval/ep_reward"]),
+                    "rollout_ep_reward": float(metrics["rollout/ep_reward"]),
+                }
+                curve.append(rec["eval_ep_reward"])
+                out.write(json.dumps(rec) + "\n")
+                out.flush()
+    tail = curve[-5:]
+    tail_mean = sum(tail) / len(tail)
+    result = {
+        "config": name, "seed": seed, "tail_mean": round(tail_mean, 3),
+        "best": round(max(curve), 3), "threshold": spec["threshold"],
+        "passed": tail_mean >= spec["threshold"],
+        "wall_s": round(time.time() - t0, 1),
+        "env_steps": num_blocks * spb,
+    }
+    print("RESULT " + json.dumps(result), flush=True)
+    return result
+
+
+def run_all(seed: int, cpu: bool = False) -> int:
+    """One subprocess per config (a backend failure costs one run)."""
+    summary_path = os.path.join(REPO, "validation", "baselines_summary.jsonl")
+    failures = 0
+    with open(summary_path, "w") as summary:
+        for name in CONFIGS:
+            env = dict(os.environ)
+            env["PYTHONPATH"] = f"{REPO}:/root/.axon_site"
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--config", name, "--seed", str(seed)]
+            if cpu:
+                cmd.append("--cpu")
+            p = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=7200, env=env, cwd=REPO)
+            rec = {"config": name, "error": "crashed",
+                   "tail": (p.stdout[-300:] + p.stderr[-300:])}
+            for line in p.stdout.splitlines():
+                if line.startswith("RESULT "):
+                    rec = json.loads(line[len("RESULT "):])
+            summary.write(json.dumps(rec) + "\n")
+            summary.flush()
+            print(json.dumps(rec), flush=True)
+            if not rec.get("passed", False):
+                failures += 1
+    return failures
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", choices=sorted(CONFIGS), default=None)
+    ap.add_argument("--all", action="store_true")
+    ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (leave the TPU free)")
+    args = ap.parse_args()
+    if args.cpu or os.environ.get("BASELINES_CPU"):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    if args.all:
+        sys.exit(1 if run_all(args.seed, cpu=args.cpu) else 0)
+    if not args.config:
+        sys.exit("need --config NAME or --all")
+    run_config(args.config, args.seed)
+
+
+if __name__ == "__main__":
+    main()
