@@ -91,6 +91,20 @@ CONFIGS = {
         ),
         threshold=-30.0,
     ),
+    # the reference's experimental coma_lbf.py config: per-agent rewards
+    # (reward_aggr=None) + truncation bootstrap on LBF
+    "coma_lbf": dict(
+        algo="coma",
+        kwargs=dict(
+            env_type="lbf", env_name="Foraging-8x8-2p-3f-v3",
+            num_envs=64, total_timesteps=2_000_000,
+            per_agent_rewards=True, bootstrap_truncation=True,
+            entropy_coef=0.003, exploration_fraction=3000.0,
+            actor_hidden_dim=64, critic_hidden_dim=64,
+            log_interval=4,
+        ),
+        threshold=0.5,   # fraction of food collected, optimum 1.0
+    ),
 }
 
 
@@ -126,6 +140,12 @@ def build(algo: str, kwargs: dict):
         cfg = FACMACConfig(**kwargs)
         init, block, ev = make_train(cfg)
         return cfg, init, block, ev, cfg.num_envs * cfg.log_interval, \
+            lambda r: r.actor_params
+    if algo == "coma":
+        from cleanmarl_tpu.algos.coma import COMAConfig, make_train
+        cfg = COMAConfig(**kwargs)
+        init, block, ev, meta = make_train(cfg)
+        return cfg, init, block, ev, meta["steps_per_block"], \
             lambda r: r.actor_params
     raise ValueError(algo)
 
