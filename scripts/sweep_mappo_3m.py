@@ -23,10 +23,18 @@ OUT = os.path.join(REPO, "validation", "sweep_mappo_3m.jsonl")
 # Sweep round 2: the epochs=8 + adv-norm recipe sustains ~0.87 with a
 # stochastic eval policy; anneal entropy (sharpen the late policy) and
 # try more capacity, across seeds.
+# Sweep round 3: the hidden-128 recipe sustains 0.98/0.94/0.81 on
+# seeds 1/2/3 — seed 3 commits to a weaker basin before the entropy
+# anneals away. Probe robustness levers on the hard seed.
 GRID = [
+    dict(entropy_coef=0.01, epochs=8, normalize_advantage=1, lr=5e-4,
+         anneal_entropy=1, hidden=128, seed=3),
     dict(entropy_coef=0.003, epochs=8, normalize_advantage=1, lr=5e-4,
-         anneal_entropy=ae, hidden=h, seed=s)
-    for ae, h, s in itertools.product([1, 0], [64, 128], [1, 2])
+         anneal_entropy=1, hidden=128, num_envs=512, seed=3),
+    dict(entropy_coef=0.01, epochs=8, normalize_advantage=1, lr=5e-4,
+         anneal_entropy=1, hidden=128, num_envs=512, seed=3),
+    dict(entropy_coef=0.003, epochs=15, normalize_advantage=1, lr=5e-4,
+         anneal_entropy=1, hidden=128, seed=3),
 ]
 
 

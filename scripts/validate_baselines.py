@@ -44,7 +44,7 @@ CONFIGS = {
             exploration_fraction=0.1, hidden_dim=64,
             log_interval=200,
         ),
-        threshold=-42.0,
+        threshold=-30.0,   # validated tail -18.5 (run 2); margin for seeds
     ),
     "qmix_spread": dict(
         algo="qmix",
@@ -55,7 +55,7 @@ CONFIGS = {
             exploration_fraction=0.1, hidden_dim=64,
             log_interval=40,
         ),
-        threshold=-42.0,
+        threshold=-30.0,   # validated tail -19.5 (run 2, post-stabilization)
     ),
     "ippo_lbf": dict(
         algo="ippo",
@@ -67,7 +67,7 @@ CONFIGS = {
             normalize_advantage=True, actor_hidden_dim=64,
             critic_hidden_dim=64, log_interval=4,
         ),
-        threshold=0.8,   # fraction of food collected, optimum 1.0
+        threshold=0.75,  # validated tail 0.833; fraction of food, optimum 1.0
     ),
     "maddpg_sl": dict(
         algo="maddpg",
