@@ -22,12 +22,16 @@ def main():
     ap.add_argument("--total_timesteps", type=int, default=20_000_000)
     ap.add_argument("--num_envs", type=int, default=256)
     ap.add_argument("--rollout_len", type=int, default=60)
-    # Defaults = the winning recipe from the round-2 sweeps
-    # (validation/sweep_mappo_3m.jsonl): entropy 0.003 annealed to 0,
-    # 8 epochs, advantage norm, lr 5e-4, hidden 128 — sustained eval
-    # battle_won 0.97-0.99 across seeds; hidden 64 plateaus at ~0.85.
+    # Defaults = the ROBUST recipe from the round-2/3 sweeps
+    # (validation/sweep_mappo_3m.jsonl + mappo_rnn_3m_e01_s*.jsonl):
+    # hidden 128, 8 epochs, advantage norm, lr 5e-4 annealed, entropy
+    # 0.01 annealed to 0 → sustained tail 0.91/0.94/0.96 on seeds
+    # 1/2/3. Entropy 0.003 is higher-variance: best single seed 0.98
+    # (the committed mappo_rnn_3m.jsonl headline curve) but 0.81 on its
+    # worst seed — the higher initial entropy prevents committing to a
+    # weak basin before the anneal ends.
     ap.add_argument("--lr", type=float, default=5e-4)
-    ap.add_argument("--entropy_coef", type=float, default=0.003)
+    ap.add_argument("--entropy_coef", type=float, default=0.01)
     ap.add_argument("--anneal_entropy", type=int, default=1)
     ap.add_argument("--epochs", type=int, default=8)
     ap.add_argument("--td_lambda", type=float, default=0.95)
