@@ -193,15 +193,9 @@ def make_train(cfg: COMAConfig, env=None):
         episode boundaries (identity carry for FF)."""
         if not cfg.recurrent:
             return actor_probs(params, obs_seq, avail_seq, epsilon)
-
-        def body(h, inp):
-            obs, avail, ended = inp
-            h2, probs = actor_step(params, h, obs, avail, epsilon)
-            h2 = jnp.where(ended[:, None, None], 0.0, h2)
-            return h2, probs
-
-        _, probs = jax.lax.scan(body, h0, (obs_seq, avail_seq, ended_seq))
-        return probs
+        # input projection + head hoisted out of the scan (rnn_seq_apply)
+        _, logits = nets.rnn_seq_apply(params, h0, obs_seq, reset_seq=ended_seq)
+        return _eps_mix(nets.masked_q(logits, avail_seq), avail_seq, epsilon)
 
     def critic_q(params, state, obs, actions):
         """state (...,S), obs (...,n,O), actions (...,n) int →

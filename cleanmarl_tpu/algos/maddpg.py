@@ -157,14 +157,9 @@ def make_train(cfg: MADDPGConfig, env=None):
         obs_tm = jnp.moveaxis(obs_bt, 0, 1)      # (T, B, n, O)
         avail_tm = jnp.moveaxis(avail_bt, 0, 1)
         h0 = jnp.zeros(obs_tm.shape[1:-1] + (H,))
-
-        def body(h, inp):
-            obs, avail = inp
-            h2, logits = actor_step(params, h, obs, avail)
-            return h2, logits
-
-        _, logits = jax.lax.scan(body, h0, (obs_tm, avail_tm))
-        return jnp.moveaxis(logits, 0, 1)        # back to (B, T, n, A)
+        # input projection + head hoisted out of the scan (rnn_seq_apply)
+        _, logits = nets.rnn_seq_apply(params, h0, obs_tm)
+        return jnp.moveaxis(nets.masked_q(logits, avail_tm), 0, 1)
 
     def target_next_logits_episodes(params, obs_bt, next_obs_bt, next_avail_bt):
         """Target-actor logits at the NEXT obs of every step: the hidden
@@ -177,15 +172,20 @@ def make_train(cfg: MADDPGConfig, env=None):
         next_tm = jnp.moveaxis(next_obs_bt, 0, 1)
         na_tm = jnp.moveaxis(next_avail_bt, 0, 1)
         h0 = jnp.zeros(obs_tm.shape[1:-1] + (H,))
+        # both input projections precomputed in two large matmuls; the
+        # scan keeps only the two recurrent projections + gating
+        gi_obs = nets.gru_input_proj(params, obs_tm)
+        gi_next = nets.gru_input_proj(params, next_tm)
 
         def body(h, inp):
-            obs, next_obs, next_avail = inp
-            h2, _ = nets.rnn_apply(params, h, obs)
-            _, logits = nets.rnn_apply(params, h2, next_obs)
-            return h2, nets.masked_q(logits, next_avail)
+            gio, gin = inp
+            h2 = nets.gru_apply_pre(params["gru"], h, gio)
+            h_eval = nets.gru_apply_pre(params["gru"], h2, gin)
+            return h2, h_eval
 
-        _, logits = jax.lax.scan(body, h0, (obs_tm, next_tm, na_tm))
-        return jnp.moveaxis(logits, 0, 1)
+        _, h_eval = jax.lax.scan(body, h0, (gi_obs, gi_next))
+        logits = nets.dense(params["head"], h_eval)
+        return jnp.moveaxis(nets.masked_q(logits, na_tm), 0, 1)
 
     def critic_q(params, state, joint_onehot):
         """state (..., S), joint_onehot (..., n, A) → Q (...)."""

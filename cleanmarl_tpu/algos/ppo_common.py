@@ -159,26 +159,12 @@ def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
         the carry every tbptt steps."""
         if not cfg.recurrent:
             return masked_logits(actor_params, obs_seq, avail_seq)
-
-        def body(carry, inp):
-            h, t = carry
-            obs, avail, ended = inp
-            if cfg.tbptt:
-                h = jax.lax.cond(
-                    jnp.mod(t, cfg.tbptt) == 0,
-                    jax.lax.stop_gradient,
-                    lambda x: x,
-                    h,
-                )
-            h2, logits = actor_step(actor_params, h, obs, avail)
-            h2 = jnp.where(ended[:, None, None], 0.0, h2)
-            return (h2, t + 1), logits
-
-        (_, _), logits = jax.lax.scan(
-            body, (h0, jnp.zeros((), jnp.int32)),
-            (obs_seq, avail_seq, ended_seq),
+        # input projection + head hoisted out of the sequential scan
+        # (nets.rnn_seq_apply); numerics identical to the per-step form
+        _, logits = nets.rnn_seq_apply(
+            actor_params, h0, obs_seq, reset_seq=ended_seq, tbptt=cfg.tbptt
         )
-        return logits
+        return nets.masked_q(logits, avail_seq)
 
     def critic_values(critic_params, batch_obs, batch_state):
         """→ values broadcast per agent (..., n_agents)."""

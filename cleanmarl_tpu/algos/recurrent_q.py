@@ -231,41 +231,37 @@ def make_train(cfg: RecurrentQConfig, env=None):
         h0 = jnp.zeros((B, env.n_agents, H))
 
         # burn-in: advance target stream on next_obs and online stream
-        # on obs, no gradients (vdn_lstm.py:394-403)
+        # on obs, no gradients (vdn_lstm.py:394-403). Input projections
+        # are hoisted into batched matmuls (nets.gru_input_proj); only
+        # the recurrent projection + gating stay in the scans.
+        gi_t_burn = nets.gru_input_proj(target_params["q"], tm["next_obs"][:bi])
+        gi_u_burn = nets.gru_input_proj(params["q"], tm["obs"][:bi])
+
         def burn_body(carry, inp):
             h_t, h_u = carry
-            obs, next_obs = inp
-            h_t2, _ = nets.rnn_apply(target_params["q"], h_t, next_obs)
-            h_u2, _ = nets.rnn_apply(params["q"], h_u, obs)
-            return (h_t2, h_u2), None
+            git, giu = inp
+            return (
+                nets.gru_apply_pre(target_params["q"]["gru"], h_t, git),
+                nets.gru_apply_pre(params["q"]["gru"], h_u, giu),
+            ), None
 
-        (h_t, h_u), _ = jax.lax.scan(
-            burn_body, (h0, h0), (tm["obs"][:bi], tm["next_obs"][:bi])
-        )
+        (h_t, h_u), _ = jax.lax.scan(burn_body, (h0, h0), (gi_t_burn, gi_u_burn))
         h_t = jax.lax.stop_gradient(h_t)
         h_u = jax.lax.stop_gradient(h_u)
 
-        def tgt_body(h, inp):
-            next_obs, next_avail = inp
-            h2, q_next = nets.rnn_apply(target_params["q"], h, next_obs)
-            q_next = nets.masked_q(q_next, next_avail)
-            return h2, q_next.max(axis=-1)                      # (B, n)
-
-        _, q_next_max = jax.lax.scan(
-            tgt_body, h_t, (tm["next_obs"][bi:], tm["next_avail"][bi:])
-        )                                                       # (L-bi, B, n)
+        _, q_next = nets.rnn_seq_apply(target_params["q"], h_t, tm["next_obs"][bi:])
+        q_next_max = nets.masked_q(q_next, tm["next_avail"][bi:]).max(axis=-1)
+        # (L-bi, B, n)
         done = tm["done"][bi:].astype(jnp.float32)
         target = reward[bi:] + cfg.gamma * (1.0 - done) * q_next_max.sum(axis=-1)
         target = jax.lax.stop_gradient(target)
 
         def loss_fn(p):
-            def body(h, inp):
-                obs, action = inp
-                h2, q = nets.rnn_apply(p["q"], h, obs)
-                q_taken = jnp.take_along_axis(q, action[..., None], axis=-1)[..., 0]
-                return h2, q_taken.sum(axis=-1)                 # VDN team value
-
-            _, team = jax.lax.scan(body, h_u, (tm["obs"][bi:], tm["action"][bi:]))
+            _, q = nets.rnn_seq_apply(p["q"], h_u, tm["obs"][bi:])
+            q_taken = jnp.take_along_axis(
+                q, tm["action"][bi:][..., None], axis=-1
+            )[..., 0]
+            team = q_taken.sum(axis=-1)                         # VDN team value
             return jnp.mean(jnp.square(target - team))
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -286,17 +282,22 @@ def make_train(cfg: RecurrentQConfig, env=None):
         B = cfg.batch_size
         h0 = jnp.zeros((B, env.n_agents, H))
 
-        # ---- target stream (no grad): advance on obs, evaluate next_obs
-        def tgt_body(h, inp):
-            obs, next_obs, next_avail = inp
-            h2, _ = nets.rnn_apply(target_params["q"], h, obs)
-            _, q_next = nets.rnn_apply(target_params["q"], h2, next_obs)
-            q_next = nets.masked_q(q_next, next_avail)
-            return h2, q_next.max(axis=-1)                      # (B, n)
+        # ---- target stream (no grad): advance on obs, evaluate next_obs.
+        # Both input projections precomputed in two batched matmuls; the
+        # scan keeps only the recurrent projections + gating.
+        gi_obs = nets.gru_input_proj(target_params["q"], tm["obs"])
+        gi_next = nets.gru_input_proj(target_params["q"], tm["next_obs"])
 
-        _, q_next_max = jax.lax.scan(
-            tgt_body, h0, (tm["obs"], tm["next_obs"], tm["next_avail"])
-        )                                                       # (T, B, n)
+        def tgt_body(h, inp):
+            gio, gin = inp
+            h2 = nets.gru_apply_pre(target_params["q"]["gru"], h, gio)
+            h_eval = nets.gru_apply_pre(target_params["q"]["gru"], h2, gin)
+            return h2, h_eval
+
+        _, h_eval = jax.lax.scan(tgt_body, h0, (gi_obs, gi_next))
+        q_next = nets.dense(target_params["q"]["head"], h_eval)
+        q_next_max = nets.masked_q(q_next, tm["next_avail"]).max(axis=-1)
+        # (T, B, n)
         team_next = mix(target_params, q_next_max, tm["next_state"])
         done = tm["done"].astype(jnp.float32)
         target = tm["reward"] + cfg.gamma * (1.0 - done) * team_next
@@ -304,23 +305,10 @@ def make_train(cfg: RecurrentQConfig, env=None):
 
         # ---- online stream --------------------------------------------
         def loss_fn(p):
-            def body(carry, inp):
-                h, t = carry
-                obs, action = inp
-                if cfg.tbptt:
-                    h = jax.lax.cond(
-                        jnp.mod(t, cfg.tbptt) == 0,
-                        jax.lax.stop_gradient,
-                        lambda x: x,
-                        h,
-                    )
-                h2, q = nets.rnn_apply(p["q"], h, obs)
-                q_taken = jnp.take_along_axis(q, action[..., None], axis=-1)[..., 0]
-                return (h2, t + 1), q_taken
-
-            (_, _), q_taken = jax.lax.scan(
-                body, (h0, jnp.zeros((), jnp.int32)), (tm["obs"], tm["action"])
-            )                                                   # (T, B, n)
+            _, q = nets.rnn_seq_apply(p["q"], h0, tm["obs"], tbptt=cfg.tbptt)
+            q_taken = jnp.take_along_axis(
+                q, tm["action"][..., None], axis=-1
+            )[..., 0]                                           # (T, B, n)
             team = mix(p, q_taken, tm["state"])                 # (T, B)
             err = jnp.square(target - team) * mask_tm
             return jnp.sum(err) / jnp.maximum(jnp.sum(mask_tm), 1.0)

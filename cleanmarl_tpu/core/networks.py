@@ -120,11 +120,11 @@ def gru_init(key: chex.PRNGKey, in_dim: int, hidden_dim: int):
     }
 
 
-def gru_apply(params, h: chex.Array, x: chex.Array) -> chex.Array:
-    """h' = GRUCell(x, h). Shapes: x (..., in_dim), h (..., hidden).
-    Matches torch nn.GRUCell semantics (vdn_lstm.py:88) with the reset
-    gate applied to the *projected* hidden contribution."""
-    gi = x @ params["wi"] + params["bi"]        # (..., 3H)
+def gru_apply_pre(params, h: chex.Array, gi: chex.Array) -> chex.Array:
+    """GRU cell step from a precomputed input projection
+    ``gi = x @ wi + bi`` (..., 3H). Only the recurrent projection
+    ``h @ wh`` and the gating run here — the sequential critical path
+    when scanning over time (see ``rnn_seq_apply``)."""
     gh = h @ params["wh"] + params["bh"]        # (..., 3H)
     ir, iz, in_ = jnp.split(gi, 3, axis=-1)
     hr, hz, hn = jnp.split(gh, 3, axis=-1)
@@ -132,6 +132,13 @@ def gru_apply(params, h: chex.Array, x: chex.Array) -> chex.Array:
     z = jax.nn.sigmoid(iz + hz)
     n = jnp.tanh(in_ + r * hn)
     return (1.0 - z) * n + z * h
+
+
+def gru_apply(params, h: chex.Array, x: chex.Array) -> chex.Array:
+    """h' = GRUCell(x, h). Shapes: x (..., in_dim), h (..., hidden).
+    Matches torch nn.GRUCell semantics (vdn_lstm.py:88) with the reset
+    gate applied to the *projected* hidden contribution."""
+    return gru_apply_pre(params, h, x @ params["wi"] + params["bi"])
 
 
 # ---------------------------------------------------------------------------
@@ -153,6 +160,66 @@ def rnn_apply(params, h, x):
     z = jax.nn.relu(dense(params["fc1"], x))
     h2 = gru_apply(params["gru"], h, z)
     return h2, dense(params["head"], h2)
+
+
+def gru_input_proj(params, x):
+    """Input side of the fc1→GRU core batched over any leading dims:
+    ``relu(fc1(x)) @ wi + bi`` → (..., 3H). Precompute this over a whole
+    (T, ...) sequence, then step with ``gru_apply_pre`` in the scan."""
+    z = jax.nn.relu(dense(params["fc1"], x))
+    return z @ params["gru"]["wi"] + params["gru"]["bi"]
+
+
+def rnn_seq_apply(params, h0, x_seq, reset_seq=None, tbptt: int = 0):
+    """fc1→GRU→head over a time-major sequence ``x_seq (T, ..., in_dim)``
+    with the whole input side and the head hoisted OUT of the scan.
+
+    TPU rationale: a naive per-step ``rnn_apply`` scan puts four matmuls
+    on the sequential critical path (fc1, gru-wi, gru-wh, head). When
+    the inputs for all T steps are known up front (every training-time
+    sequence recompute — PPO epochs, recurrent-Q targets, COMA/MADDPG
+    actor rescans), fc1/gru-wi/head are time-independent and batch into
+    three (T·B·n, ·) matmuls that tile the MXU far better; only the
+    (·, H)x(H, 3H) recurrent projection + gating remain sequential —
+    ~3x less work on the scan's critical path at hidden 128.
+
+    ``reset_seq (T, ...)`` (bool): the carry is zeroed AFTER emitting
+    step t's output wherever reset_seq[t] is set (episode boundaries).
+    ``tbptt=k``: stop gradients through the carry every k steps (the
+    reference's chunked TBPTT, qmix_lstm.py:350-363, as a scan-native
+    stop-gradient carry).
+
+    Returns ``(h_final, out_seq (T, ..., out_dim))``.
+    """
+    gi = gru_input_proj(params, x_seq)                      # (T, ..., 3H)
+    if reset_seq is not None:
+        # broadcast (T, batch...) flags up to the carry's rank
+        reset_seq = reset_seq.reshape(
+            reset_seq.shape + (1,) * (h0.ndim + 1 - reset_seq.ndim)
+        )
+
+    def body(carry, inp):
+        h, t = carry
+        gi_t, reset = inp
+        if tbptt:
+            h = jax.lax.cond(
+                jnp.mod(t, tbptt) == 0,
+                jax.lax.stop_gradient,
+                lambda v: v,
+                h,
+            )
+        h2 = gru_apply_pre(params["gru"], h, gi_t)
+        h_next = h2 if reset is None else jnp.where(reset, 0.0, h2)
+        return (h_next, t + 1), h2
+
+    carry0 = (h0, jnp.zeros((), jnp.int32))
+    if reset_seq is None:
+        (h_final, _), h_seq = jax.lax.scan(
+            lambda c, gi_t: body(c, (gi_t, None)), carry0, gi
+        )
+    else:
+        (h_final, _), h_seq = jax.lax.scan(body, carry0, (gi, reset_seq))
+    return h_final, dense(params["head"], h_seq)
 
 
 def rnn_initial_state(batch_shape, hidden_dim: int) -> chex.Array:

@@ -75,3 +75,53 @@ def test_rnn_apply_shapes():
     h = nets.rnn_initial_state((2, 3), 16)
     h2, out = nets.rnn_apply(params, h, jnp.ones((2, 3, 9)))
     assert h2.shape == (2, 3, 16) and out.shape == (2, 3, 4)
+
+
+def test_rnn_seq_apply_matches_per_step_scan():
+    """The hoisted-input-projection sequence form (rnn_seq_apply) must be
+    numerically equivalent — forward AND gradients — to scanning
+    rnn_apply step by step with carry resets and TBPTT stop-gradients."""
+    p = nets.rnn_init(jax.random.PRNGKey(0), 7, 16, 5)
+    T, B, n = 11, 4, 3
+    x = jax.random.normal(jax.random.PRNGKey(1), (T, B, n, 7))
+    ended = jax.random.bernoulli(jax.random.PRNGKey(2), 0.2, (T, B))
+    h0 = jax.random.normal(jax.random.PRNGKey(3), (B, n, 16)) * 0.1
+
+    def per_step(pp, tbptt):
+        def body(carry, inp):
+            h, t = carry
+            obs, e = inp
+            if tbptt:
+                h = jax.lax.cond(
+                    jnp.mod(t, tbptt) == 0,
+                    jax.lax.stop_gradient, lambda v: v, h,
+                )
+            h2, out = nets.rnn_apply(pp, h, obs)
+            h_next = jnp.where(e[:, None, None], 0.0, h2)
+            return (h_next, t + 1), out
+
+        (hf, _), outs = jax.lax.scan(
+            body, (h0, jnp.zeros((), jnp.int32)), (x, ended)
+        )
+        return hf, outs
+
+    for tbptt in (0, 4):
+        hf_ref, out_ref = per_step(p, tbptt)
+        hf_new, out_new = nets.rnn_seq_apply(
+            p, h0, x, reset_seq=ended, tbptt=tbptt
+        )
+        np.testing.assert_allclose(out_ref, out_new, atol=1e-5)
+        np.testing.assert_allclose(hf_ref, hf_new, atol=1e-5)
+        g_ref = jax.grad(lambda pp: (per_step(pp, tbptt)[1] ** 2).sum())(p)
+        g_new = jax.grad(
+            lambda pp: (nets.rnn_seq_apply(
+                pp, h0, x, reset_seq=ended, tbptt=tbptt)[1] ** 2).sum()
+        )(p)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=1e-3),
+            g_ref, g_new,
+        )
+
+    # no-reset path used by the replay-time losses
+    hf, out = nets.rnn_seq_apply(p, h0, x)
+    assert out.shape == (T, B, n, 5) and hf.shape == (B, n, 16)
