@@ -34,6 +34,7 @@ import optax
 
 from cleanmarl_tpu.algos.maddpg import gumbel_softmax
 from cleanmarl_tpu.buffers.episode import EpisodeAccumulator, EpisodeBuffer
+from cleanmarl_tpu.core import cadence
 from cleanmarl_tpu.core import networks as nets
 from cleanmarl_tpu.core.acting import masked_argmax
 from cleanmarl_tpu.core.evaluation import make_evaluator
@@ -73,6 +74,9 @@ class FACMACConfig:
     start_e: float = 0.5
     end_e: float = 0.002
     exploration_fraction: float = 750.0   # in training updates (facmac.py:66)
+    max_updates_per_iter: int = 0    # cap updates per vectorized iteration;
+    # surplus carries as debt (core/cadence.py). 0 = uncapped (exact
+    # per-crossing semantics; per-iteration cost grows with num_envs)
     target_network_update_freq: int = 1
     polyak: float = 0.005
     clip_gradients: float = -1.0
@@ -111,6 +115,7 @@ class FACMACRunnerState:
     stats: EpisodeStats
     step: chex.Array
     episodes: chex.Array
+    update_debt: chex.Array  # () int32 due-but-deferred updates (cadence.py)
     last_actor_loss: chex.Array
     last_critic_loss: chex.Array
     last_actor_gnorm: chex.Array
@@ -194,6 +199,7 @@ def make_train(cfg: FACMACConfig, env=None):
             stats=EpisodeStats.create(cfg.num_envs),
             step=jnp.zeros((), jnp.int32),
             episodes=jnp.zeros((), jnp.int32),
+            update_debt=jnp.zeros((), jnp.int32),
             last_actor_loss=jnp.zeros(()), last_critic_loss=jnp.zeros(()),
             last_actor_gnorm=jnp.zeros(()), last_critic_gnorm=jnp.zeros(()),
             num_updates=jnp.zeros(()),
@@ -280,24 +286,24 @@ def make_train(cfg: FACMACConfig, env=None):
         # cadence: one update per train_freq COMPLETED EPISODES
         # (facmac.py:427). Synchronized vectorized envs can finish many
         # episodes in one iteration (MPE: all num_envs truncate together),
-        # so run one update per crossing — up to num_envs per iteration —
-        # rather than collapsing the burst into a single update.
+        # so run one update per crossing rather than collapsing the burst
+        # into a single update; max_updates_per_iter caps the per-
+        # iteration slot count, surplus carried as debt (core/cadence.py).
         warm = ring.size >= cfg.batch_size
         due = jnp.where(
             warm,
             episodes // cfg.train_freq - runner.episodes // cfg.train_freq,
             0,
         )
+        n_slots = cadence.num_slots(cfg.max_updates_per_iter, cfg.num_envs)
+        n_run, debt = cadence.bounded_due(runner.update_debt, due, n_slots)
 
-        def update_slot(carry, inp):
-            i, k = inp
+        def update_slot(carry, k):
             r = runner.replace(
                 actor_params=carry[0], critic_params=carry[1],
                 actor_opt=carry[2], critic_opt=carry[3],
             )
-            return jax.lax.cond(
-                i < due, lambda: update(r, ring, k), lambda: carry
-            ), None
+            return update(r, ring, k)
 
         carry0 = (
             runner.actor_params, runner.critic_params,
@@ -305,10 +311,9 @@ def make_train(cfg: FACMACConfig, env=None):
             runner.last_actor_loss, runner.last_critic_loss,
             runner.last_actor_gnorm, runner.last_critic_gnorm,
         )
-        slot_keys = jax.random.split(k_upd, cfg.num_envs)
         (actor_params, critic_params, a_opt, c_opt,
-         a_loss, c_loss, a_gnorm, c_gnorm), _ = jax.lax.scan(
-            update_slot, carry0, (jnp.arange(cfg.num_envs), slot_keys)
+         a_loss, c_loss, a_gnorm, c_gnorm) = cadence.run_due_updates(
+            carry0, update_slot, k_upd, n_run, n_slots
         )
         # k polyak steps collapse exactly to one with 1-(1-τ)^k
         due_t = jnp.where(
@@ -332,10 +337,10 @@ def make_train(cfg: FACMACConfig, env=None):
             actor_opt=a_opt, critic_opt=c_opt,
             ring=ring, acc=acc, env_state=env_state,
             obs=ts2.obs, state=ts2.state, avail=ts2.avail,
-            stats=stats, step=step, episodes=episodes,
+            stats=stats, step=step, episodes=episodes, update_debt=debt,
             last_actor_loss=a_loss, last_critic_loss=c_loss,
             last_actor_gnorm=a_gnorm, last_critic_gnorm=c_gnorm,
-            num_updates=runner.num_updates + due.astype(jnp.float32),
+            num_updates=runner.num_updates + n_run.astype(jnp.float32),
             key=key,
         )
         return runner, epsilon

@@ -18,7 +18,9 @@ ippo_lstm.py:161-183, mappo_lstm_multienvs.py — the north-star config):
   bootstrapped-tail extension when an episode is cut mid-rollout.
 - PPO loss follows ippo.py:429-484: ratio from stored behaviour
   log-probs, clip, entropy bonus, full-batch epochs (3, no
-  minibatching), value MSE vs the λ-return, KL (k3 estimator
+  minibatching — ``num_minibatches=1`` default; k>1 splits the env
+  axis per epoch, which is what bounds grad-path HBM at large env
+  batches), value MSE vs the λ-return, KL (k3 estimator
   (ratio−1)−log ratio) + clip-fraction diagnostics, separate actor
   and critic optimizers (ippo.py:263-265).
 - Truncation is NOT bootstrapped (next_value = 0 at the terminal step
@@ -85,6 +87,14 @@ class PPOConfig:
     entropy_coef: float = 0.001
     anneal_entropy: bool = False     # linear entropy-coef decay to 0 over the run
     epochs: int = 3
+    num_minibatches: int = 1        # >1: split the env axis per epoch.
+    # The reference trains full-batch (ippo.py:429-484 — 3 epochs, no
+    # minibatching); 1 reproduces that. k>1 is standard PPO minibatching
+    # over the env axis: grad-path memory scales with num_envs/k, which
+    # is what lets the hidden-128 recipe run at 8192 envs on one v5e.
+    remat_actor: bool = False       # jax.checkpoint the actor sequence
+    # recompute (recurrent grad path) — trades ~1 extra forward scan for
+    # not materializing the per-step GRU residuals of the whole rollout.
     anneal_lr: bool = False          # linear LR decay to 0 over the run
     clip_gradients: float = -1.0
     log_interval: int = 8           # rollouts per host log
@@ -133,7 +143,13 @@ def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
                             env_family=cfg.env_family)
     vec = as_vec(env, cfg.num_envs)
     rollout_len = cfg.rollout_len or env.episode_limit
-    total_updates = cfg.epochs * max(
+    n_mb = max(1, cfg.num_minibatches)
+    if cfg.num_envs % n_mb:
+        raise ValueError(
+            f"num_envs={cfg.num_envs} not divisible by "
+            f"num_minibatches={n_mb}"
+        )
+    total_updates = cfg.epochs * n_mb * max(
         cfg.total_timesteps // (rollout_len * cfg.num_envs), 1
     )
     n_updates = total_updates if cfg.anneal_lr else 0
@@ -285,18 +301,30 @@ def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
                 1.0 - runner.num_updates / total_updates, 0.0, 1.0
             )
 
-        def actor_loss_fn(actor_params):
-            logits = actor_logits_seq(
-                actor_params, h0, traj["obs"], traj["avail"], traj["ended"]
+        logits_seq = actor_logits_seq
+        if cfg.remat_actor:
+            # recompute the whole sequence forward in the backward pass
+            # instead of materializing its residuals (per-step GRU gates,
+            # hoisted (T,B,n,3H) input projections) across the epoch scan
+            logits_seq = jax.checkpoint(
+                actor_logits_seq,
+                policy=jax.checkpoint_policies.nothing_saveable,
+            )
+
+        def actor_loss_fn(actor_params, mb):
+            logits = logits_seq(
+                actor_params, mb["h0"], mb["obs"], mb["avail"], mb["ended"]
             )
             logp_all = jax.nn.log_softmax(logits, axis=-1)
             logp = jnp.take_along_axis(
-                logp_all, traj["action"][..., None], axis=-1
+                logp_all, mb["action"][..., None], axis=-1
             )[..., 0]
-            log_ratio = logp - traj["logp"]
+            log_ratio = logp - mb["logp"]
             ratio = jnp.exp(log_ratio)
-            pg1 = adv * ratio
-            pg2 = adv * jnp.clip(ratio, 1.0 - cfg.ppo_clip, 1.0 + cfg.ppo_clip)
+            pg1 = mb["adv"] * ratio
+            pg2 = mb["adv"] * jnp.clip(
+                ratio, 1.0 - cfg.ppo_clip, 1.0 + cfg.ppo_clip
+            )
             pg = jnp.minimum(pg1, pg2).mean()
             p = jnp.exp(logp_all)
             entropy = -jnp.sum(p * logp_all, axis=-1).mean()
@@ -305,16 +333,22 @@ def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
             clipped = (jnp.abs(ratio - 1.0) > cfg.ppo_clip).astype(jnp.float32).mean()
             return loss, (entropy, kl, clipped)
 
-        def critic_loss_fn(critic_params):
-            v = critic_values(critic_params, traj["obs"], traj["state"])
-            return jnp.mean(jnp.square(v - returns))
+        def critic_loss_fn(critic_params, mb):
+            v = critic_values(critic_params, mb["obs"], mb["state"])
+            return jnp.mean(jnp.square(v - mb["returns"]))
 
-        def epoch(carry, _):
+        full = {
+            **{k: traj[k] for k in
+               ("obs", "state", "avail", "action", "logp", "ended")},
+            "adv": adv, "returns": returns,
+        }
+
+        def minibatch_step(carry, mb):
             a_params, c_params, a_opt, c_opt = carry
             (a_loss, (entropy, kl, clipped)), a_grads = jax.value_and_grad(
                 actor_loss_fn, has_aux=True
-            )(a_params)
-            c_loss, c_grads = jax.value_and_grad(critic_loss_fn)(c_params)
+            )(a_params, mb)
+            c_loss, c_grads = jax.value_and_grad(critic_loss_fn)(c_params, mb)
             a_gnorm = nets.global_norm(a_grads)
             c_gnorm = nets.global_norm(c_grads)
             a_updates, a_opt = actor_opt.update(a_grads, a_opt, a_params)
@@ -332,6 +366,31 @@ def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
             }
             return (a_params, c_params, a_opt, c_opt), m
 
+        mb_size = cfg.num_envs // n_mb
+
+        def epoch(carry, _):
+            if n_mb == 1:
+                carry, m = minibatch_step(carry, {**full, "h0": h0})
+                return carry, m
+
+            def mb_body(c, i):
+                # contiguous env-axis slice i — no shuffling: the envs are
+                # iid parallel instances, so a fixed partition is already
+                # an unbiased minibatch and avoids a full-trajectory gather
+                mb = jax.tree.map(
+                    lambda x: jax.lax.dynamic_slice_in_dim(
+                        x, i * mb_size, mb_size, axis=1
+                    ),
+                    full,
+                )
+                mb["h0"] = jax.lax.dynamic_slice_in_dim(
+                    h0, i * mb_size, mb_size, axis=0
+                )
+                return minibatch_step(c, mb)
+
+            carry, ms_mb = jax.lax.scan(mb_body, carry, jnp.arange(n_mb))
+            return carry, jax.tree.map(jnp.mean, ms_mb)
+
         carry0 = (
             runner.actor_params, runner.critic_params,
             runner.actor_opt, runner.critic_opt,
@@ -343,7 +402,7 @@ def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
         runner = runner.replace(
             actor_params=a_params, critic_params=c_params,
             actor_opt=a_opt, critic_opt=c_opt,
-            num_updates=runner.num_updates + cfg.epochs,
+            num_updates=runner.num_updates + cfg.epochs * n_mb,
         )
         return runner, metrics
 

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import optax
 
 from cleanmarl_tpu.buffers.episode import EpisodeAccumulator, EpisodeBuffer
+from cleanmarl_tpu.core import cadence
 from cleanmarl_tpu.core import networks as nets
 from cleanmarl_tpu.core.acting import eps_greedy, masked_argmax
 from cleanmarl_tpu.core.evaluation import make_evaluator
@@ -79,6 +80,9 @@ class QMIXConfig:
     # False (default) cuts the target at time limits (episodic values,
     # as MADDPG/FACMAC here already do via `ended`).
     memefficient: bool = False       # store-once episode layout (qmix_memefficient.py)
+    max_updates_per_iter: int = 0    # cap updates per vectorized iteration;
+    # surplus carries as debt (core/cadence.py). 0 = uncapped (exact
+    # per-crossing semantics; per-iteration cost grows with num_envs)
     clip_gradients: float = -1.0
     log_interval: int = 500
     eval_steps: int = 5000
@@ -112,6 +116,7 @@ class QMIXRunnerState:
     stats: EpisodeStats
     step: chex.Array         # () int32 vectorized iterations
     episodes: chex.Array     # () int32 completed episodes (cadence counter)
+    update_debt: chex.Array  # () int32 due-but-deferred updates (cadence.py)
     last_loss: chex.Array
     last_gnorm: chex.Array
     num_updates: chex.Array
@@ -173,6 +178,7 @@ def make_train(cfg: QMIXConfig, env=None):
             stats=EpisodeStats.create(cfg.num_envs),
             step=jnp.zeros((), jnp.int32),
             episodes=jnp.zeros((), jnp.int32),
+            update_debt=jnp.zeros((), jnp.int32),
             last_loss=jnp.zeros(()),
             last_gnorm=jnp.zeros(()),
             num_updates=jnp.zeros(()),
@@ -270,35 +276,29 @@ def make_train(cfg: QMIXConfig, env=None):
         # cadence: the reference updates once per train_freq COMPLETED
         # EPISODES (qmix.py:377). Synchronized vectorized envs can finish
         # many episodes in one iteration (MPE: all num_envs truncate
-        # together), so run one update per crossing — up to num_envs per
-        # iteration — rather than collapsing them into one. (Collapsing
-        # left the bootstrap ~num_envs× under-trained and Q_tot drifted
-        # optimistic without bound on simple_spread: +5 → +26 while true
-        # returns are negative; validation/tune_qmix_spread.jsonl.)
+        # together), so run one update per crossing rather than collapsing
+        # them into one. (Collapsing left the bootstrap ~num_envs×
+        # under-trained and Q_tot drifted optimistic without bound on
+        # simple_spread: +5 → +26 while true returns are negative;
+        # validation/tune_qmix_spread.jsonl.) max_updates_per_iter caps
+        # the per-iteration slot count; the surplus carries as debt.
         warm = ring.size >= cfg.batch_size
         due = jnp.where(
             warm,
             episodes // cfg.train_freq - runner.episodes // cfg.train_freq,
             0,
         )
+        n_slots = cadence.num_slots(cfg.max_updates_per_iter, cfg.num_envs)
+        n_run, debt = cadence.bounded_due(runner.update_debt, due, n_slots)
 
-        def update_slot(carry, inp):
-            params, opt_state, loss, gnorm = carry
-            i, k = inp
-            return jax.lax.cond(
-                i < due,
-                lambda: update(
-                    params, runner.target_params, opt_state, ring, k
-                ),
-                lambda: (params, opt_state, loss, gnorm),
-            ), None
+        def update_slot(carry, k):
+            params, opt_state, _, _ = carry
+            return update(params, runner.target_params, opt_state, ring, k)
 
-        slot_keys = jax.random.split(k_sample, cfg.num_envs)
-        (params, opt_state, loss, gnorm), _ = jax.lax.scan(
-            update_slot,
+        params, opt_state, loss, gnorm = cadence.run_due_updates(
             (runner.params, runner.opt_state, runner.last_loss,
              runner.last_gnorm),
-            (jnp.arange(cfg.num_envs), slot_keys),
+            update_slot, k_sample, n_run, n_slots,
         )
         # k polyak steps collapse exactly to one with 1-(1-τ)^k
         due_t = jnp.where(
@@ -331,9 +331,10 @@ def make_train(cfg: QMIXConfig, env=None):
             stats=stats,
             step=step,
             episodes=episodes,
+            update_debt=debt,
             last_loss=loss,
             last_gnorm=gnorm,
-            num_updates=runner.num_updates + due.astype(jnp.float32),
+            num_updates=runner.num_updates + n_run.astype(jnp.float32),
             key=key,
         )
         return runner, epsilon

@@ -46,6 +46,7 @@ import optax
 
 from cleanmarl_tpu.buffers.episode import EpisodeAccumulator, EpisodeBuffer
 from cleanmarl_tpu.buffers.sequence import SequenceAccumulator, SequenceBuffer
+from cleanmarl_tpu.core import cadence
 from cleanmarl_tpu.core import networks as nets
 from cleanmarl_tpu.core.acting import eps_greedy, masked_argmax
 from cleanmarl_tpu.core.evaluation import make_evaluator
@@ -89,6 +90,9 @@ class RecurrentQConfig:
     hyper_dim: int = 64
     embed_dim: int = 32
     tbptt: int = 0                   # 0 → full BPTT over the episode
+    max_updates_per_iter: int = 0    # cap updates per vectorized iteration;
+    # surplus carries as debt (core/cadence.py). 0 = uncapped (exact
+    # per-crossing semantics; per-iteration cost grows with num_envs)
     target_network_update_freq: int = 1
     polyak: float = 0.01
     clip_gradients: float = -1.0
@@ -125,6 +129,7 @@ class RecQRunnerState:
     stats: EpisodeStats
     step: chex.Array
     episodes: chex.Array
+    update_debt: chex.Array  # () int32 due-but-deferred updates (cadence.py)
     last_loss: chex.Array
     last_gnorm: chex.Array
     num_updates: chex.Array
@@ -212,6 +217,7 @@ def make_train(cfg: RecurrentQConfig, env=None):
             stats=EpisodeStats.create(cfg.num_envs),
             step=jnp.zeros((), jnp.int32),
             episodes=jnp.zeros((), jnp.int32),
+            update_debt=jnp.zeros((), jnp.int32),
             last_loss=jnp.zeros(()),
             last_gnorm=jnp.zeros(()),
             num_updates=jnp.zeros(()),
@@ -282,20 +288,10 @@ def make_train(cfg: RecurrentQConfig, env=None):
         B = cfg.batch_size
         h0 = jnp.zeros((B, env.n_agents, H))
 
-        # ---- target stream (no grad): advance on obs, evaluate next_obs.
-        # Both input projections precomputed in two batched matmuls; the
-        # scan keeps only the recurrent projections + gating.
-        gi_obs = nets.gru_input_proj(target_params["q"], tm["obs"])
-        gi_next = nets.gru_input_proj(target_params["q"], tm["next_obs"])
-
-        def tgt_body(h, inp):
-            gio, gin = inp
-            h2 = nets.gru_apply_pre(target_params["q"]["gru"], h, gio)
-            h_eval = nets.gru_apply_pre(target_params["q"]["gru"], h2, gin)
-            return h2, h_eval
-
-        _, h_eval = jax.lax.scan(tgt_body, h0, (gi_obs, gi_next))
-        q_next = nets.dense(target_params["q"]["head"], h_eval)
+        # ---- target stream (no grad): advance on obs, evaluate next_obs
+        q_next = nets.rnn_seq_eval_next(
+            target_params["q"], h0, tm["obs"], tm["next_obs"]
+        )
         q_next_max = nets.masked_q(q_next, tm["next_avail"]).max(axis=-1)
         # (T, B, n)
         team_next = mix(target_params, q_next_max, tm["next_state"])
@@ -355,31 +351,25 @@ def make_train(cfg: RecurrentQConfig, env=None):
             # one update per train_freq COMPLETED EPISODES; synchronized
             # vectorized envs can finish many episodes in one iteration
             # (MPE: all num_envs truncate together), so run one update
-            # per crossing — up to num_envs per iteration
+            # per crossing; max_updates_per_iter caps the per-iteration
+            # slot count, surplus carried as debt (core/cadence.py)
             due = jnp.where(
                 warm,
                 episodes // cfg.train_freq
                 - runner.episodes // cfg.train_freq,
                 0,
             )
+        n_slots = cadence.num_slots(cfg.max_updates_per_iter, cfg.num_envs)
+        n_run, debt = cadence.bounded_due(runner.update_debt, due, n_slots)
 
-        def update_slot(carry, inp):
-            params, opt_state, loss, gnorm = carry
-            i, k = inp
-            return jax.lax.cond(
-                i < due,
-                lambda: update(
-                    params, runner.target_params, opt_state, ring, k
-                ),
-                lambda: carry,
-            ), None
+        def update_slot(carry, k):
+            params, opt_state, _, _ = carry
+            return update(params, runner.target_params, opt_state, ring, k)
 
-        slot_keys = jax.random.split(k_sample, cfg.num_envs)
-        (params, opt_state, loss, gnorm), _ = jax.lax.scan(
-            update_slot,
+        params, opt_state, loss, gnorm = cadence.run_due_updates(
             (runner.params, runner.opt_state, runner.last_loss,
              runner.last_gnorm),
-            (jnp.arange(cfg.num_envs), slot_keys),
+            update_slot, k_sample, n_run, n_slots,
         )
         # k polyak steps collapse exactly to one with 1-(1-τ)^k
         due_t = jnp.where(
@@ -398,9 +388,9 @@ def make_train(cfg: RecurrentQConfig, env=None):
             params=params, target_params=target_params, opt_state=opt_state,
             ring=ring, acc=acc, env_state=env_state,
             obs=ts2.obs, state=ts2.state, avail=ts2.avail, h=h2,
-            stats=stats, step=step, episodes=episodes,
+            stats=stats, step=step, episodes=episodes, update_debt=debt,
             last_loss=loss, last_gnorm=gnorm,
-            num_updates=runner.num_updates + due.astype(jnp.float32),
+            num_updates=runner.num_updates + n_run.astype(jnp.float32),
             key=key,
         )
         return runner, epsilon

@@ -222,6 +222,32 @@ def rnn_seq_apply(params, h0, x_seq, reset_seq=None, tbptt: int = 0):
     return h_final, dense(params["head"], h_seq)
 
 
+def rnn_seq_eval_next(params, h0, obs_seq, next_obs_seq):
+    """Target-evaluation pattern shared by the off-policy recurrent
+    algorithms (recurrent-Q targets, MADDPG target actor): advance the
+    hidden stream on ``obs_t`` and evaluate the head one GRU step ahead
+    on ``next_obs_t`` — the scanned form of the reference's carried
+    (h_target, h_utility) pair (vdn_lstm_jax.py:286-325); within an
+    episode next_obs_t == obs_{t+1}, and the one-step-ahead evaluation
+    is exact at terminal steps.
+
+    Both input projections are precomputed in two batched matmuls
+    (``gru_input_proj``); the scan keeps only the two recurrent
+    projections + gating. Returns ``out_seq (T, ..., out_dim)``.
+    """
+    gi_obs = gru_input_proj(params, obs_seq)
+    gi_next = gru_input_proj(params, next_obs_seq)
+
+    def body(h, inp):
+        gio, gin = inp
+        h2 = gru_apply_pre(params["gru"], h, gio)
+        h_eval = gru_apply_pre(params["gru"], h2, gin)
+        return h2, h_eval
+
+    _, h_eval = jax.lax.scan(body, h0, (gi_obs, gi_next))
+    return dense(params["head"], h_eval)
+
+
 def rnn_initial_state(batch_shape, hidden_dim: int) -> chex.Array:
     return jnp.zeros(tuple(batch_shape) + (hidden_dim,), jnp.float32)
 
