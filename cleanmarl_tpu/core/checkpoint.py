@@ -6,6 +6,14 @@ state (SURVEY.md §5.4). This module checkpoints the ENTIRE runner
 pytree — params, target params, optimizer state, replay buffers, env
 states, RNG keys, step counters — so a run resumes bit-exactly where it
 stopped, which is strictly stronger than weights-only saving.
+
+Multi-host: works unchanged under ``jax.distributed`` — EVERY process
+constructs the Checkpointer on the SAME (shared) directory and calls
+``save``/``restore`` at the same steps; orbax writes each process's
+addressable shards and barriers across the cluster. ``restore`` builds
+its abstract target from the live runner, so globally-sharded arrays
+come back in their production shardings (the env batch stays sharded
+over ``data``, params replicated).
 """
 from __future__ import annotations
 

@@ -80,14 +80,11 @@ def run_training(
     ckpt = None
     done_steps = 0
     ckpt_dir = getattr(cfg, "checkpoint_dir", "")
-    if ckpt_dir and jax.process_count() > 1:
-        # orbax multi-host checkpointing needs per-deployment storage
-        # coordination (shared filesystem / GCS) — see MULTIHOST.md
-        print(
-            f"[{algo_name}] WARNING: checkpointing is single-host only for "
-            "now; disabling (see MULTIHOST.md)", flush=True,
-        )
-        ckpt_dir = ""
+    # Multi-host: every process participates in each save/restore (orbax
+    # writes the shards a process owns and barriers across the cluster);
+    # checkpoint_dir must point at storage all hosts share — a network
+    # filesystem or object store (MULTIHOST.md). Localhost multi-process
+    # (the test cluster) trivially satisfies this.
     if ckpt_dir:
         from cleanmarl_tpu.core.checkpoint import Checkpointer
 
@@ -95,7 +92,11 @@ def run_training(
         if getattr(cfg, "resume", False) and ckpt.latest_step() is not None:
             runner = ckpt.restore(runner)
             done_steps = steps_of(runner)
-            print(f"[{algo_name}] resumed from step {ckpt.latest_step()}", flush=True)
+            if is_main:
+                print(
+                    f"[{algo_name}] resumed from step {ckpt.latest_step()}",
+                    flush=True,
+                )
 
     # a resumed run trains only the REMAINING budget, so interrupt+resume
     # completes exactly total_timesteps overall

@@ -347,3 +347,155 @@ def test_mmm_episode_runs_and_terminates():
     (_, _, _), (rews, endeds) = jax.lax.scan(step, (es, ts, key), None, length=120)
     assert np.isfinite(np.asarray(rews)).all()
     assert np.asarray(endeds).any()      # episodes end within 2× limit
+
+
+# ---------------------------------------------------------------------------
+# ENVS_FIDELITY.md fixtures (VERDICT r2 missing-3): pin the unit-type
+# stat effects and the medivac bookkeeping documented in the dossier.
+# ---------------------------------------------------------------------------
+
+def test_unit_stat_table_ratios():
+    """ENVS_FIDELITY S1: the stat table keeps SMAC's unit identities —
+    hp/shield pools, damage-per-shot, integer cooldowns, melee vs ranged
+    — and the 3m reward normalization is SMAC's reward_scale_rate=20."""
+    from cleanmarl_tpu.envs.smaclite import UNIT_TYPES
+
+    t = UNIT_TYPES
+    assert t["marine"] == dict(hp=45.0, shield=0.0, dmg=6.0, cd=1.0, rng=6.0)
+    assert t["stalker"]["hp"] == t["stalker"]["shield"] == 80.0
+    assert t["zealot"]["rng"] < 2.0 < t["stalker"]["rng"]   # melee vs ranged
+    assert t["marauder"]["cd"] == t["stalker"]["cd"] == 2.0  # slow hitters
+    assert t["medivac"].get("heal") is True
+    assert not any(
+        t[u].get("heal", False) for u in ("marine", "stalker", "zealot",
+                                          "marauder")
+    )
+    env = smaclite.make("3m")
+    max_return = 3 * 45.0 + 3 * REWARD_KILL + REWARD_WIN
+    np.testing.assert_allclose(env.reward_scale, 20.0 / max_return, rtol=1e-6)
+
+
+def test_marauder_two_step_cooldown_in_mmm():
+    """ENVS_FIDELITY S1: a marauder (cd=2) fires 12, then sits out two
+    steps before the next shot — fire, wait, wait, fire."""
+    env = MicroCombat(["marauder"], ["marine"], time_limit=50)
+    s, _ = env.reset(jax.random.PRNGKey(0))
+    s = s.replace(
+        ally_pos=jnp.array([[16.0, 16.0]]),
+        enemy_pos=jnp.array([[17.0, 16.0]]),
+    )
+    hp = [45.0]
+    for _ in range(4):
+        s, _ = env.step(s, jnp.array([6]), jax.random.PRNGKey(1))
+        hp.append(float(s.enemy_hp[0]))
+    assert hp == [45.0, 33.0, 33.0, 33.0, 21.0]
+
+
+def test_stalker_shield_arithmetic_2s3z():
+    """ENVS_FIDELITY S6: a stalker shot (13) into a full 80 shield takes
+    shield to 67 and leaves hp intact; into a 5-point shield it spills 8
+    into hp — and both count identically as damage reward."""
+    env = MicroCombat(["stalker"], ["stalker"], time_limit=50)
+    s, _ = env.reset(jax.random.PRNGKey(0))
+    base = s.replace(
+        ally_pos=jnp.array([[16.0, 16.0]]),
+        enemy_pos=jnp.array([[17.0, 16.0]]),
+    )
+    s2, ts2 = env.step(base, jnp.array([6]), jax.random.PRNGKey(1))
+    assert float(s2.enemy_shield[0]) == 67.0
+    assert float(s2.enemy_hp[0]) == 80.0
+
+    spill = base.replace(enemy_shield=jnp.array([5.0]))
+    s3, ts3 = env.step(spill, jnp.array([6]), jax.random.PRNGKey(1))
+    assert float(s3.enemy_shield[0]) == 0.0
+    assert float(s3.enemy_hp[0]) == 72.0
+    np.testing.assert_allclose(float(ts2.reward), float(ts3.reward), rtol=1e-6)
+
+
+def test_zealot_closes_then_strikes():
+    """ENVS_FIDELITY S5: a zealot ordered to attack from 5 away deals no
+    damage that step (out of melee range 1.5, approaches 2.0 instead) and
+    lands its 16-damage hit once the attack-move brings it to melee."""
+    env = MicroCombat(["zealot"], ["marine"], time_limit=50)
+    s, _ = env.reset(jax.random.PRNGKey(0))
+    s = s.replace(
+        ally_pos=jnp.array([[16.0, 16.0]]),
+        enemy_pos=jnp.array([[21.0, 16.0]]),
+    )
+    s1, _ = env.step(s, jnp.array([6]), jax.random.PRNGKey(1))
+    assert float(s1.enemy_hp[0]) == 45.0          # still out of melee range
+    s2, _ = env.step(s1, jnp.array([6]), jax.random.PRNGKey(2))
+    assert float(s2.enemy_hp[0]) == 45.0 - 16.0   # closed to melee, struck
+
+
+def test_medivac_heal_caps_and_no_resurrection_under_crossfire(
+):
+    """ENVS_FIDELITY S9 on MMM2: heals land AFTER the step's incoming
+    damage, cap at max hp, and cannot resurrect an ally killed in the
+    same step."""
+    env = smaclite.make("MMM2")
+    assert env.n_agents == 10 and env.n_enemies == 12
+    s, _ = env.reset(jax.random.PRNGKey(0))
+    far_allies = jnp.stack(
+        [jnp.full((10,), 2.0), 2.0 + jnp.arange(10.0) * 2.0], axis=-1
+    )
+    far_enemies = jnp.stack(
+        [jnp.full((12,), 30.0), 2.0 + jnp.arange(12.0) * 2.0], axis=-1
+    )
+    # medivac (ally 0) beside marine ally 3; ONE enemy marine (enemy 4)
+    # in range of ally 3; everyone else out of sight
+    base = s.replace(
+        ally_pos=far_allies.at[0].set(jnp.array([16.0, 17.0]))
+                           .at[3].set(jnp.array([16.0, 16.0])),
+        enemy_pos=far_enemies.at[4].set(jnp.array([17.0, 16.0])),
+    )
+    acts = jnp.ones((10,), jnp.int32).at[0].set(6 + 3)   # heal ally 3
+
+    # crossfire: 30 hp − 6 (enemy marine) + 8 (heal) = 32
+    s1, _ = env.step(
+        base.replace(ally_hp=base.ally_hp.at[3].set(30.0)), acts,
+        jax.random.PRNGKey(1),
+    )
+    assert float(s1.ally_hp[3]) == 32.0
+
+    # cap: 44 − 6 + 8 caps at the marine's 45 max
+    s2, _ = env.step(
+        base.replace(ally_hp=base.ally_hp.at[3].set(44.0)), acts,
+        jax.random.PRNGKey(1),
+    )
+    assert float(s2.ally_hp[3]) == 45.0
+
+    # no resurrection: 4 − 6 kills ally 3 before the heal lands
+    s3, _ = env.step(
+        base.replace(ally_hp=base.ally_hp.at[3].set(4.0)), acts,
+        jax.random.PRNGKey(1),
+    )
+    assert float(s3.ally_hp[3]) == 0.0
+
+
+def test_medivac_cannot_attack_and_soldiers_cannot_heal():
+    """ENVS_FIDELITY S9: in the shared target-action block, medivac rows
+    carry only heal bits (allies) and soldier rows only attack bits
+    (enemies)."""
+    env = smaclite.make("MMM")          # mirror: medivac, 2 marauders, 7 marines
+    s, _ = env.reset(jax.random.PRNGKey(0))
+    far_allies = jnp.stack(
+        [jnp.full((10,), 2.0), 2.0 + jnp.arange(10.0) * 2.0], axis=-1
+    )
+    far_enemies = jnp.stack(
+        [jnp.full((10,), 30.0), 2.0 + jnp.arange(10.0) * 2.0], axis=-1
+    )
+    # medivac (ally 0) adjacent ONLY to an enemy marine; marine ally 3
+    # adjacent ONLY to a damaged ally marine (ally 4), no enemy in range
+    s = s.replace(
+        ally_pos=far_allies.at[0].set(jnp.array([16.0, 16.0]))
+                           .at[3].set(jnp.array([6.0, 16.0]))
+                           .at[4].set(jnp.array([7.0, 16.0])),
+        enemy_pos=far_enemies.at[4].set(jnp.array([17.0, 16.0])),
+        ally_hp=s.ally_hp.at[4].set(10.0),
+    )
+    avail = np.asarray(env._avail(s))
+    # medivac: enemy adjacent but no ally in heal range → no target bits
+    assert not avail[0, N_FIXED_ACTIONS:].any()
+    # soldier: damaged ally adjacent but no enemy in range → no target bits
+    assert not avail[3, N_FIXED_ACTIONS:].any()

@@ -80,3 +80,54 @@ def test_two_process_cluster_matches_single_process():
     np.testing.assert_allclose(
         _last_ep_reward(outs[0]), _last_ep_reward(ref.stdout), rtol=2e-3
     )
+
+
+@pytest.mark.slow
+def test_two_process_checkpoint_save_and_resume(tmp_path):
+    """Multi-host checkpointing (VERDICT r2 missing-4): a 2-process
+    cluster saves the sharded runner to a shared directory, then a fresh
+    2-process cluster resumes from it and trains only the remaining
+    budget."""
+    ckpt_dir = str(tmp_path / "ckpt")
+
+    def run_cluster(total_steps: int, resume: bool):
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        procs = [
+            subprocess.Popen(
+                [sys.executable,
+                 "-m", "cleanmarl_tpu.algos.mappo",
+                 "--env_type", "matrix", "--num_envs", "16",
+                 "--total_timesteps", str(total_steps),
+                 "--log_interval", "2", "--eval_steps", "1000000",
+                 "--seed", "0", "--verbose", "true",
+                 "--checkpoint_dir", ckpt_dir,
+                 "--checkpoint_every", "1024",
+                 "--resume", str(resume).lower(),
+                 "--coordinator_address", f"localhost:{port}",
+                 "--num_processes", "2", "--process_id", str(i)],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                env=_env(4), cwd=REPO,
+            )
+            for i in range(2)
+        ]
+        outs = [p.communicate(timeout=600)[0] for p in procs]
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, out[-3000:]
+        return outs
+
+    outs = run_cluster(2048, resume=False)
+    assert "[MAPPO]" in outs[0]
+
+    # the final save is at step=total_timesteps
+    saved = sorted(int(p.name) for p in Path(ckpt_dir).iterdir()
+                   if p.name.isdigit())
+    assert saved and saved[-1] == 2048, saved
+
+    # fresh cluster resumes from step 2048 and runs only the remainder
+    outs2 = run_cluster(4096, resume=True)
+    assert "resumed from step 2048" in outs2[0]
+    assert "resumed" not in outs2[1]       # only process 0 prints
+    steps = [int(m) for m in re.findall(r"step=(\d+)", outs2[0])]
+    assert steps[0] > 2048 and steps[-1] == 4096, steps
