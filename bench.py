@@ -14,14 +14,31 @@ sisl/pursuit_v4) with the reference's exact per-step network shape; its
 rate is env+interp dominated, so it is a fair stand-in for the reference
 3m loop (same loop structure, comparable obs sizes).
 
-MFU: model FLOPs per env step are read from the compiled train block's
-XLA cost analysis; MFU = achieved model FLOP/s over the chip's bf16 peak.
-MARL nets are tiny (hidden 64), so the workload is memory/latency bound
-by design and MFU is reported for transparency, not as the target.
+MFU: analytic model FLOPs per env step (matmul MACs of the actor/critic
+forward + the epochs× training recompute, backward ≈ 2× forward —
+computed in make_train where the shapes are known); MFU = achieved model
+FLOP/s over the chip's bf16 peak. XLA's compiled cost_analysis is also
+reported but counts each lax.scan body once (not ×length), so it
+undercounts scanned training loops ~(T·epochs)×. MARL nets are tiny
+(hidden 128), so the workload is latency/bandwidth bound by design and
+MFU is reported for transparency, not as the target.
+
+The bench config is the single source of truth in
+``scripts/check_bench_memory.bench_config`` — the compile-memory guard
+compiles EXACTLY what this bench runs, so an un-compilable config can
+never ship again (round-2 failure mode).
 
 Sweep notes (steady-state, one v5e chip):
-  MAPPO 3m recurrent: 512 envs → 1.46M, 2048 → 2.12M, 8192 → 2.28M sps
-  MAPPO simple_spread ff: 16384 envs → 5.2M sps (peak; 65536 regresses)
+  North-star RECIPE (hidden 128, 8 epochs — the learning-validated
+  configuration, scripts/mappo_3m_run.py): throughput is flat in the
+  env batch and minibatching (compute-bound): 4096 envs → 534k, 8192 →
+  579k (mb=8) / 565k (full-batch), 16384 → 578k (mb=16); rollout 150 →
+  563k; remat_actor → 514k. Full grid: validation/bench_sweep_r3.jsonl.
+  Operating point: 8192 envs, rollout 60, minibatches 8 (1.9G HBM).
+  Throughput-oriented configs run much faster per step (hidden 64 /
+  3 epochs: 2.31M sps, BENCH_r01; ff simple_spread: 5.2M sps) — the
+  bench reports the RECIPE because that is what reaches 0.98
+  battle_won (validation/mappo_rnn_3m.jsonl).
 """
 from __future__ import annotations
 
@@ -75,25 +92,12 @@ def measure_reference_baseline(n_steps: int = 1500) -> float:
 
 def main():
     from cleanmarl_tpu.algos.mappo import make_train
-    from cleanmarl_tpu.algos.ppo_common import PPOConfig
+    from scripts.check_bench_memory import bench_config
 
     # the learning-validated north-star recipe (scripts/mappo_3m_run.py:
-    # hidden 128, 8 epochs — sustains eval battle_won 0.97-0.99), scaled
-    # out to the throughput-optimal env batch
-    cfg = PPOConfig(
-        env_type="smaclite",
-        env_name="3m",
-        agent_ids=True,
-        recurrent=True,
-        num_envs=8192,
-        actor_hidden_dim=128,
-        critic_hidden_dim=128,
-        epochs=8,
-        total_timesteps=1_000_000_000,
-        log_interval=2,
-        seed=0,
-        verbose=False,
-    )
+    # hidden 128, 8 epochs — sustains eval battle_won 0.97-0.99) at the
+    # sweep-chosen operating point (validation/bench_sweep_r3.jsonl)
+    cfg = bench_config()
     init, train_block, eval_fn, meta = make_train(cfg)
     runner = init(jax.random.PRNGKey(0))
 
@@ -121,8 +125,6 @@ def main():
 
     steps = meta["steps_per_block"] * n_timed
     sps = steps / elapsed
-    blocks_per_s = n_timed / elapsed
-    model_flops_per_s = flops_per_block * blocks_per_s
 
     baseline_sps = measure_reference_baseline()
 
@@ -137,10 +139,14 @@ def main():
                 "baseline_method": "per-step torch-CPU loop on pursuit_v4 "
                                    "(reference loop structure; smaclite wheel "
                                    "not installed)",
-                "model_flops_per_step": round(
+                "model_flops_per_step": round(meta["model_flops_per_step"], 1),
+                "mfu": round(
+                    meta["model_flops_per_step"] * sps / V5E_PEAK_BF16_FLOPS,
+                    6,
+                ),
+                "xla_cost_analysis_flops_per_step": round(
                     flops_per_block / meta["steps_per_block"], 1
                 ),
-                "mfu": round(model_flops_per_s / V5E_PEAK_BF16_FLOPS, 6),
             }
         )
     )

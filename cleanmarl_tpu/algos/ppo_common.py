@@ -458,11 +458,27 @@ def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
             init_carry=lambda m: jnp.zeros((m, env.n_agents, H)),
         )
     )
+    # analytic model-FLOPs per env transition (matmul MACs ×2). XLA's
+    # compiled cost_analysis counts each lax.scan body ONCE rather than
+    # ×length, so it undercounts scanned training loops ~(T·epochs)× —
+    # bench MFU uses this count instead. Backward pass ≈ 2× forward.
+    macs_actor = (
+        env.obs_dim * H + H * 3 * H + H * 3 * H + H * env.n_actions
+        if cfg.recurrent else
+        env.obs_dim * H + cfg.actor_num_layers * H * H + H * env.n_actions
+    )
+    Hc = cfg.critic_hidden_dim
+    macs_critic = critic_in * Hc + cfg.critic_num_layers * Hc * Hc + Hc
+    per_step_macs = (
+        env.n_agents * macs_actor * (1 + 3 * cfg.epochs)   # act + recompute
+        + macs_critic * (1 + 1 + 3 * cfg.epochs)           # adv + bootstrap + loss
+    )
     meta = {
         "rollout_len": rollout_len,
         "steps_per_block": rollout_len * cfg.num_envs * cfg.log_interval,
         "algo_name": algo_name,
         "phase_timer": phase_timer,
+        "model_flops_per_step": 2.0 * per_step_macs,
     }
     return init, train_block, eval_fn, meta
 
