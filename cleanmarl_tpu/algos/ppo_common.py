@@ -95,6 +95,13 @@ class PPOConfig:
     remat_actor: bool = False       # jax.checkpoint the actor sequence
     # recompute (recurrent grad path) — trades ~1 extra forward scan for
     # not materializing the per-step GRU residuals of the whole rollout.
+    compute_dtype: str = "float32"  # "bfloat16" runs the UPDATE-path
+    # matmuls (actor sequence recompute + critic) with bf16 operands and
+    # f32 accumulation — params, carries, activations and the rollout
+    # stay f32. The behaviour logp is computed in f32 at rollout time,
+    # so epoch-0 ratios deviate from 1 by the bf16 rounding of the
+    # recomputed logits; PPO's clip absorbs this (validated on the
+    # north-star recipe — see validation/mappo_rnn_3m_bf16.jsonl).
     anneal_lr: bool = False          # linear LR decay to 0 over the run
     clip_gradients: float = -1.0
     log_interval: int = 8           # rollouts per host log
@@ -161,6 +168,10 @@ def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
     )
     critic_in = env.state_dim if centralized else env.obs_dim
     H = cfg.actor_hidden_dim
+    if cfg.compute_dtype not in ("float32", "bfloat16"):
+        raise ValueError(f"compute_dtype must be float32|bfloat16, "
+                         f"got {cfg.compute_dtype!r}")
+    mm_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
     def actor_step(actor_params, h, obs, avail):
         """One actor forward. → (h', masked logits)."""
@@ -174,22 +185,30 @@ def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
         GRU carry at episode boundaries; tbptt>0 cuts gradients through
         the carry every tbptt steps."""
         if not cfg.recurrent:
-            return masked_logits(actor_params, obs_seq, avail_seq)
+            return nets.masked_q(
+                nets.mlp_apply(actor_params, obs_seq, dtype=mm_dtype),
+                avail_seq,
+            )
         # input projection + head hoisted out of the sequential scan
         # (nets.rnn_seq_apply); numerics identical to the per-step form
         _, logits = nets.rnn_seq_apply(
-            actor_params, h0, obs_seq, reset_seq=ended_seq, tbptt=cfg.tbptt
+            actor_params, h0, obs_seq, reset_seq=ended_seq, tbptt=cfg.tbptt,
+            dtype=mm_dtype,
         )
         return nets.masked_q(logits, avail_seq)
 
-    def critic_values(critic_params, batch_obs, batch_state):
+    def critic_values(critic_params, batch_obs, batch_state, dtype=None):
         """→ values broadcast per agent (..., n_agents)."""
         if centralized:
-            v = nets.mlp_apply(critic_params, batch_state)[..., 0]   # (...,)
+            v = nets.mlp_apply(
+                critic_params, batch_state, dtype=dtype
+            )[..., 0]                                                # (...,)
             return jnp.broadcast_to(
                 v[..., None], v.shape + (env.n_agents,)
             )
-        return nets.mlp_apply(critic_params, batch_obs)[..., 0]      # (..., n)
+        return nets.mlp_apply(
+            critic_params, batch_obs, dtype=dtype
+        )[..., 0]                                                    # (..., n)
 
     def init(key: chex.PRNGKey) -> PPORunnerState:
         ka, kc, kreset, key = jax.random.split(key, 4)
@@ -334,7 +353,9 @@ def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
             return loss, (entropy, kl, clipped)
 
         def critic_loss_fn(critic_params, mb):
-            v = critic_values(critic_params, mb["obs"], mb["state"])
+            v = critic_values(
+                critic_params, mb["obs"], mb["state"], dtype=mm_dtype
+            )
             return jnp.mean(jnp.square(v - mb["returns"]))
 
         full = {

@@ -53,8 +53,25 @@ def dense_init(key, in_dim: int, out_dim: int, gain: float = math.sqrt(2.0)):
     }
 
 
-def dense(params, x):
-    return x @ params["w"] + params["b"]
+def matmul(x, w, dtype=None):
+    """x @ w, optionally running the MXU in a reduced dtype.
+
+    ``dtype=jnp.bfloat16`` casts both operands at the matmul and
+    accumulates in f32 (``preferred_element_type``) — the standard TPU
+    mixed-precision recipe. Activations, carries and params stay f32;
+    only the contraction runs reduced. ``None`` = plain f32 matmul.
+    """
+    if dtype is None:
+        return x @ w
+    return jax.lax.dot_general(
+        x.astype(dtype), w.astype(dtype),
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def dense(params, x, dtype=None):
+    return matmul(x, params["w"], dtype) + params["b"]
 
 
 # ---------------------------------------------------------------------------
@@ -84,10 +101,10 @@ def mlp_init(
     return {"layers": layers, "head": head}
 
 
-def mlp_apply(params, x, activation: Callable = jax.nn.relu):
+def mlp_apply(params, x, activation: Callable = jax.nn.relu, dtype=None):
     for layer in params["layers"]:
-        x = activation(dense(layer, x))
-    return dense(params["head"], x)
+        x = activation(dense(layer, x, dtype))
+    return dense(params["head"], x, dtype)
 
 
 def masked_q(q: chex.Array, avail: Optional[chex.Array]) -> chex.Array:
@@ -120,12 +137,12 @@ def gru_init(key: chex.PRNGKey, in_dim: int, hidden_dim: int):
     }
 
 
-def gru_apply_pre(params, h: chex.Array, gi: chex.Array) -> chex.Array:
+def gru_apply_pre(params, h: chex.Array, gi: chex.Array, dtype=None) -> chex.Array:
     """GRU cell step from a precomputed input projection
     ``gi = x @ wi + bi`` (..., 3H). Only the recurrent projection
     ``h @ wh`` and the gating run here — the sequential critical path
     when scanning over time (see ``rnn_seq_apply``)."""
-    gh = h @ params["wh"] + params["bh"]        # (..., 3H)
+    gh = matmul(h, params["wh"], dtype) + params["bh"]   # (..., 3H)
     ir, iz, in_ = jnp.split(gi, 3, axis=-1)
     hr, hz, hn = jnp.split(gh, 3, axis=-1)
     r = jax.nn.sigmoid(ir + hr)
@@ -162,15 +179,16 @@ def rnn_apply(params, h, x):
     return h2, dense(params["head"], h2)
 
 
-def gru_input_proj(params, x):
+def gru_input_proj(params, x, dtype=None):
     """Input side of the fc1→GRU core batched over any leading dims:
     ``relu(fc1(x)) @ wi + bi`` → (..., 3H). Precompute this over a whole
     (T, ...) sequence, then step with ``gru_apply_pre`` in the scan."""
-    z = jax.nn.relu(dense(params["fc1"], x))
-    return z @ params["gru"]["wi"] + params["gru"]["bi"]
+    z = jax.nn.relu(dense(params["fc1"], x, dtype))
+    return matmul(z, params["gru"]["wi"], dtype) + params["gru"]["bi"]
 
 
-def rnn_seq_apply(params, h0, x_seq, reset_seq=None, tbptt: int = 0):
+def rnn_seq_apply(params, h0, x_seq, reset_seq=None, tbptt: int = 0,
+                  dtype=None):
     """fc1→GRU→head over a time-major sequence ``x_seq (T, ..., in_dim)``
     with the whole input side and the head hoisted OUT of the scan.
 
@@ -191,7 +209,7 @@ def rnn_seq_apply(params, h0, x_seq, reset_seq=None, tbptt: int = 0):
 
     Returns ``(h_final, out_seq (T, ..., out_dim))``.
     """
-    gi = gru_input_proj(params, x_seq)                      # (T, ..., 3H)
+    gi = gru_input_proj(params, x_seq, dtype)               # (T, ..., 3H)
     if reset_seq is not None:
         # broadcast (T, batch...) flags up to the carry's rank
         reset_seq = reset_seq.reshape(
@@ -208,7 +226,7 @@ def rnn_seq_apply(params, h0, x_seq, reset_seq=None, tbptt: int = 0):
                 lambda v: v,
                 h,
             )
-        h2 = gru_apply_pre(params["gru"], h, gi_t)
+        h2 = gru_apply_pre(params["gru"], h, gi_t, dtype)
         h_next = h2 if reset is None else jnp.where(reset, 0.0, h2)
         return (h_next, t + 1), h2
 
@@ -219,7 +237,7 @@ def rnn_seq_apply(params, h0, x_seq, reset_seq=None, tbptt: int = 0):
         )
     else:
         (h_final, _), h_seq = jax.lax.scan(body, carry0, (gi, reset_seq))
-    return h_final, dense(params["head"], h_seq)
+    return h_final, dense(params["head"], h_seq, dtype)
 
 
 def rnn_seq_eval_next(params, h0, obs_seq, next_obs_seq):

@@ -42,6 +42,8 @@ def main():
     ap.add_argument("--anneal_lr", type=int, default=1)
     ap.add_argument("--num_eval_ep", type=int, default=32)
     ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--compute_dtype", default="float32")
+    ap.add_argument("--num_minibatches", type=int, default=1)
     ap.add_argument("--stop_at", type=float, default=2.0)  # >1 → never stop early
     args = ap.parse_args()
 
@@ -56,6 +58,8 @@ def main():
         normalize_advantage=bool(args.normalize_advantage),
         normalize_reward=bool(args.normalize_reward),
         tbptt=args.tbptt,
+        compute_dtype=args.compute_dtype,
+        num_minibatches=args.num_minibatches,
         total_timesteps=args.total_timesteps, log_interval=4,
         num_eval_ep=args.num_eval_ep, seed=args.seed, verbose=False,
     )

@@ -125,3 +125,33 @@ def test_rnn_seq_apply_matches_per_step_scan():
     # no-reset path used by the replay-time losses
     hf, out = nets.rnn_seq_apply(p, h0, x)
     assert out.shape == (T, B, n, 5) and hf.shape == (B, n, 16)
+
+
+def test_reduced_matmul_dtype_close_to_f32():
+    """compute_dtype plumbing: bf16-operand matmuls with f32 accumulation
+    keep outputs f32 and within bf16 rounding of the f32 path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from cleanmarl_tpu.core import networks as nets
+
+    key = jax.random.PRNGKey(0)
+    params = nets.rnn_init(key, 12, 32, 5)
+    x = jax.random.normal(jax.random.PRNGKey(1), (10, 4, 3, 12))
+    h0 = jnp.zeros((4, 3, 32))
+    _, out32 = nets.rnn_seq_apply(params, h0, x)
+    _, out16 = nets.rnn_seq_apply(params, h0, x, dtype=jnp.bfloat16)
+    assert out16.dtype == jnp.float32
+    scale = float(jnp.abs(out32).max())
+    np.testing.assert_allclose(
+        np.asarray(out16), np.asarray(out32), atol=0.05 * scale
+    )
+
+    mparams = nets.mlp_init(jax.random.PRNGKey(2), 12, 32, 5)
+    y32 = nets.mlp_apply(mparams, x)
+    y16 = nets.mlp_apply(mparams, x, dtype=jnp.bfloat16)
+    assert y16.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(y16), np.asarray(y32),
+        atol=0.05 * float(jnp.abs(y32).max()),
+    )
