@@ -93,6 +93,8 @@ class RecurrentQConfig:
     max_updates_per_iter: int = 0    # cap updates per vectorized iteration;
     # surplus carries as debt (core/cadence.py). 0 = uncapped (exact
     # per-crossing semantics; per-iteration cost grows with num_envs)
+    compute_dtype: str = "float32"   # "bfloat16": update-path matmuls run
+    # with bf16 operands + f32 accumulation (params/carries stay f32)
     target_network_update_freq: int = 1
     polyak: float = 0.01
     clip_gradients: float = -1.0
@@ -168,6 +170,10 @@ def make_train(cfg: RecurrentQConfig, env=None):
     t_max = env.episode_limit
     H = cfg.hidden_dim
     use_mixer = cfg.mixing == "qmix"
+    if cfg.compute_dtype not in ("float32", "bfloat16"):
+        raise ValueError(f"compute_dtype must be float32|bfloat16, "
+                         f"got {cfg.compute_dtype!r}")
+    mm_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
     def mix(params, agent_qs, state):
         """Team value from per-agent values."""
@@ -240,22 +246,28 @@ def make_train(cfg: RecurrentQConfig, env=None):
         # on obs, no gradients (vdn_lstm.py:394-403). Input projections
         # are hoisted into batched matmuls (nets.gru_input_proj); only
         # the recurrent projection + gating stay in the scans.
-        gi_t_burn = nets.gru_input_proj(target_params["q"], tm["next_obs"][:bi])
-        gi_u_burn = nets.gru_input_proj(params["q"], tm["obs"][:bi])
+        gi_t_burn = nets.gru_input_proj(
+            target_params["q"], tm["next_obs"][:bi], mm_dtype
+        )
+        gi_u_burn = nets.gru_input_proj(params["q"], tm["obs"][:bi], mm_dtype)
 
         def burn_body(carry, inp):
             h_t, h_u = carry
             git, giu = inp
             return (
-                nets.gru_apply_pre(target_params["q"]["gru"], h_t, git),
-                nets.gru_apply_pre(params["q"]["gru"], h_u, giu),
+                nets.gru_apply_pre(
+                    target_params["q"]["gru"], h_t, git, mm_dtype
+                ),
+                nets.gru_apply_pre(params["q"]["gru"], h_u, giu, mm_dtype),
             ), None
 
         (h_t, h_u), _ = jax.lax.scan(burn_body, (h0, h0), (gi_t_burn, gi_u_burn))
         h_t = jax.lax.stop_gradient(h_t)
         h_u = jax.lax.stop_gradient(h_u)
 
-        _, q_next = nets.rnn_seq_apply(target_params["q"], h_t, tm["next_obs"][bi:])
+        _, q_next = nets.rnn_seq_apply(
+            target_params["q"], h_t, tm["next_obs"][bi:], dtype=mm_dtype
+        )
         q_next_max = nets.masked_q(q_next, tm["next_avail"][bi:]).max(axis=-1)
         # (L-bi, B, n)
         done = tm["done"][bi:].astype(jnp.float32)
@@ -263,7 +275,8 @@ def make_train(cfg: RecurrentQConfig, env=None):
         target = jax.lax.stop_gradient(target)
 
         def loss_fn(p):
-            _, q = nets.rnn_seq_apply(p["q"], h_u, tm["obs"][bi:])
+            _, q = nets.rnn_seq_apply(p["q"], h_u, tm["obs"][bi:],
+                                      dtype=mm_dtype)
             q_taken = jnp.take_along_axis(
                 q, tm["action"][bi:][..., None], axis=-1
             )[..., 0]
@@ -290,7 +303,8 @@ def make_train(cfg: RecurrentQConfig, env=None):
 
         # ---- target stream (no grad): advance on obs, evaluate next_obs
         q_next = nets.rnn_seq_eval_next(
-            target_params["q"], h0, tm["obs"], tm["next_obs"]
+            target_params["q"], h0, tm["obs"], tm["next_obs"],
+            dtype=mm_dtype,
         )
         q_next_max = nets.masked_q(q_next, tm["next_avail"]).max(axis=-1)
         # (T, B, n)
@@ -301,7 +315,9 @@ def make_train(cfg: RecurrentQConfig, env=None):
 
         # ---- online stream --------------------------------------------
         def loss_fn(p):
-            _, q = nets.rnn_seq_apply(p["q"], h0, tm["obs"], tbptt=cfg.tbptt)
+            _, q = nets.rnn_seq_apply(
+                p["q"], h0, tm["obs"], tbptt=cfg.tbptt, dtype=mm_dtype
+            )
             q_taken = jnp.take_along_axis(
                 q, tm["action"][..., None], axis=-1
             )[..., 0]                                           # (T, B, n)

@@ -240,7 +240,7 @@ def rnn_seq_apply(params, h0, x_seq, reset_seq=None, tbptt: int = 0,
     return h_final, dense(params["head"], h_seq, dtype)
 
 
-def rnn_seq_eval_next(params, h0, obs_seq, next_obs_seq):
+def rnn_seq_eval_next(params, h0, obs_seq, next_obs_seq, dtype=None):
     """Target-evaluation pattern shared by the off-policy recurrent
     algorithms (recurrent-Q targets, MADDPG target actor): advance the
     hidden stream on ``obs_t`` and evaluate the head one GRU step ahead
@@ -253,17 +253,17 @@ def rnn_seq_eval_next(params, h0, obs_seq, next_obs_seq):
     (``gru_input_proj``); the scan keeps only the two recurrent
     projections + gating. Returns ``out_seq (T, ..., out_dim)``.
     """
-    gi_obs = gru_input_proj(params, obs_seq)
-    gi_next = gru_input_proj(params, next_obs_seq)
+    gi_obs = gru_input_proj(params, obs_seq, dtype)
+    gi_next = gru_input_proj(params, next_obs_seq, dtype)
 
     def body(h, inp):
         gio, gin = inp
-        h2 = gru_apply_pre(params["gru"], h, gio)
-        h_eval = gru_apply_pre(params["gru"], h2, gin)
+        h2 = gru_apply_pre(params["gru"], h, gio, dtype)
+        h_eval = gru_apply_pre(params["gru"], h2, gin, dtype)
         return h2, h_eval
 
     _, h_eval = jax.lax.scan(body, h0, (gi_obs, gi_next))
-    return dense(params["head"], h_eval)
+    return dense(params["head"], h_eval, dtype)
 
 
 def rnn_initial_state(batch_shape, hidden_dim: int) -> chex.Array:
