@@ -13,9 +13,20 @@ large env batches this framework targets (VERDICT r2 weak-4).
 on subsequent iterations (vectorized envs finish episodes in bursts with
 quiet iterations between, so the debt drains quickly). The long-run
 update count — and therefore the effective replay ratio — is exactly
-preserved; only the within-burst timing shifts by a few iterations.
+preserved **as long as the steady-state due-rate stays below the cap**;
+only the within-burst timing shifts by a few iterations.
 With ``max_updates_per_iter=0`` (the default) the slot count equals
 ``num_envs`` and the behavior is the exact per-crossing semantics.
+
+Sustained-overload caveat: at very large env batches the per-episode
+contract itself demands more updates per iteration than any sane cap
+(SMAClite 3m at 1024 envs finishes ~20-50 episodes per iteration —
+measured in validation/qmix_cap_throughput_r3.jsonl, where cap=8 doubles
+steps/s but debt grows without bound). In that regime the cap is a
+throughput guard, not a semantics-preserving optimization; the correct
+configuration is to scale ``train_freq`` with the env batch, exactly as
+the reference's _multienvs scripts scale their cadences by num_envs
+(vdn_multienvs.py:441, 475, 481).
 """
 from __future__ import annotations
 

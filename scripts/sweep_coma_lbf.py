@@ -43,6 +43,16 @@ GRID = [
     {"normalize_return": True},
 ]
 
+# round 2 of the grid: critic width was the only lever that moved the
+# tail (64→128: 0.356→0.401; polyak/n-step/λ/return-norm all flat) —
+# refine around it
+GRID2 = [
+    {"critic_hidden_dim": 128, "total_timesteps": 4_000_000},
+    {"critic_hidden_dim": 128, "critic_num_layers": 2},
+    {"critic_hidden_dim": 256},
+    {"critic_hidden_dim": 128, "learning_rate_critic": 3e-4},
+]
+
 
 def run_one(overrides: dict) -> dict:
     import jax
@@ -75,10 +85,11 @@ def main():
         rec = run_one(json.loads(sys.argv[2]))
         print("RESULT " + json.dumps(rec), flush=True)
         return
+    grid = GRID2 if "--round2" in sys.argv else GRID
     out = open(os.path.join(REPO, "validation", "sweep_coma_lbf.jsonl"), "a")
     env = dict(os.environ)
     env["PYTHONPATH"] = f"{REPO}:/root/.axon_site"
-    for ov in GRID:
+    for ov in grid:
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--one",
              json.dumps(ov)],
