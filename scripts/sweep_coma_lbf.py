@@ -53,6 +53,17 @@ GRID2 = [
     {"critic_hidden_dim": 128, "learning_rate_critic": 3e-4},
 ]
 
+# round 3: critic capacity AND critic lr each helped independently
+# (128x2-layer: 0.424; 128 + lrc 3e-4: 0.441) — combine them
+GRID3 = [
+    {"critic_hidden_dim": 128, "critic_num_layers": 2,
+     "learning_rate_critic": 3e-4},
+    {"critic_hidden_dim": 128, "learning_rate_critic": 5e-4},
+    {"critic_hidden_dim": 256, "learning_rate_critic": 3e-4},
+    {"critic_hidden_dim": 128, "critic_num_layers": 2,
+     "learning_rate_critic": 5e-4},
+]
+
 
 def run_one(overrides: dict) -> dict:
     import jax
@@ -85,7 +96,11 @@ def main():
         rec = run_one(json.loads(sys.argv[2]))
         print("RESULT " + json.dumps(rec), flush=True)
         return
-    grid = GRID2 if "--round2" in sys.argv else GRID
+    grid = GRID
+    if "--round2" in sys.argv:
+        grid = GRID2
+    elif "--round3" in sys.argv:
+        grid = GRID3
     out = open(os.path.join(REPO, "validation", "sweep_coma_lbf.jsonl"), "a")
     env = dict(os.environ)
     env["PYTHONPATH"] = f"{REPO}:/root/.axon_site"
