@@ -95,6 +95,11 @@ class PPOConfig:
     remat_actor: bool = False       # jax.checkpoint the actor sequence
     # recompute (recurrent grad path) — trades ~1 extra forward scan for
     # not materializing the per-step GRU residuals of the whole rollout.
+    gru_impl: str = "xla"           # "pallas": the actor's training-time
+    # sequence recompute runs the fused Pallas GRU kernel — the whole
+    # time loop in one kernel per batch tile, hidden state resident in
+    # VMEM (ops/pallas_gru.py). Profile-driven: the scan path spends
+    # ~89% of the north-star block in ~10µs per-step fusions.
     compute_dtype: str = "float32"  # "bfloat16" runs the UPDATE-path
     # matmuls (actor sequence recompute + critic) with bf16 operands and
     # f32 accumulation — params, carries, activations and the rollout
@@ -171,6 +176,10 @@ def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
     if cfg.compute_dtype not in ("float32", "bfloat16"):
         raise ValueError(f"compute_dtype must be float32|bfloat16, "
                          f"got {cfg.compute_dtype!r}")
+    if cfg.gru_impl not in ("xla", "pallas"):
+        raise ValueError(f"gru_impl must be xla|pallas, got {cfg.gru_impl!r}")
+    if cfg.gru_impl == "pallas" and cfg.tbptt:
+        raise ValueError("gru_impl='pallas' does not support tbptt>0")
     mm_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
     def actor_step(actor_params, h, obs, avail):
@@ -193,7 +202,7 @@ def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
         # (nets.rnn_seq_apply); numerics identical to the per-step form
         _, logits = nets.rnn_seq_apply(
             actor_params, h0, obs_seq, reset_seq=ended_seq, tbptt=cfg.tbptt,
-            dtype=mm_dtype,
+            dtype=mm_dtype, impl=cfg.gru_impl,
         )
         return nets.masked_q(logits, avail_seq)
 

@@ -187,8 +187,51 @@ def gru_input_proj(params, x, dtype=None):
     return matmul(z, params["gru"]["wi"], dtype) + params["gru"]["bi"]
 
 
+def _rnn_seq_apply_pallas(params, h0, x_seq, reset_seq, dtype):
+    """Fused-kernel path of ``rnn_seq_apply`` (ops/pallas_gru.py): the
+    whole time loop runs inside one Pallas program per batch tile, with
+    the hidden state resident in VMEM. Numerics match the scan path."""
+    from cleanmarl_tpu.ops.pallas_gru import gru_seq
+
+    gi = gru_input_proj(params, x_seq, dtype)          # (T, ..., 3H)
+    T = gi.shape[0]
+    batch_shape = gi.shape[1:-1]
+    three_h = gi.shape[-1]
+    H = three_h // 3
+    m0 = 1
+    for d in batch_shape:
+        m0 *= d
+    if reset_seq is None:
+        keep = jnp.ones((T,) + batch_shape, jnp.float32)
+    else:
+        r = reset_seq.reshape(
+            reset_seq.shape
+            + (1,) * (1 + len(batch_shape) - reset_seq.ndim)
+        )
+        keep = jnp.broadcast_to(
+            1.0 - r.astype(jnp.float32), (T,) + batch_shape
+        )
+    gi_f = gi.reshape(T, m0, three_h)
+    h0_f = h0.reshape(m0, H)
+    keep_f = keep.reshape(T, m0, 1)
+    pad = (-m0) % 8
+    if pad:
+        gi_f = jnp.pad(gi_f, ((0, 0), (0, pad), (0, 0)))
+        h0_f = jnp.pad(h0_f, ((0, pad), (0, 0)))
+        keep_f = jnp.pad(keep_f, ((0, 0), (0, pad), (0, 0)))
+    h_final, h_seq = gru_seq(
+        params["gru"]["wh"], params["gru"]["bh"], h0_f, gi_f, keep_f
+    )
+    if pad:
+        h_final = h_final[:m0]
+        h_seq = h_seq[:, :m0]
+    h_final = h_final.reshape(batch_shape + (H,))
+    h_seq = h_seq.reshape((T,) + batch_shape + (H,))
+    return h_final, dense(params["head"], h_seq, dtype)
+
+
 def rnn_seq_apply(params, h0, x_seq, reset_seq=None, tbptt: int = 0,
-                  dtype=None):
+                  dtype=None, impl: str = "xla"):
     """fc1→GRU→head over a time-major sequence ``x_seq (T, ..., in_dim)``
     with the whole input side and the head hoisted OUT of the scan.
 
@@ -209,6 +252,11 @@ def rnn_seq_apply(params, h0, x_seq, reset_seq=None, tbptt: int = 0,
 
     Returns ``(h_final, out_seq (T, ..., out_dim))``.
     """
+    if impl == "pallas":
+        if tbptt:
+            raise ValueError("impl='pallas' does not support tbptt>0 "
+                             "(use the xla scan path)")
+        return _rnn_seq_apply_pallas(params, h0, x_seq, reset_seq, dtype)
     gi = gru_input_proj(params, x_seq, dtype)               # (T, ..., 3H)
     if reset_seq is not None:
         # broadcast (T, batch...) flags up to the carry's rank
