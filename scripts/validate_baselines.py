@@ -98,6 +98,14 @@ CONFIGS = {
     # 0.47 then collapses to ~0.08; lr 1e-4 converges stably around
     # 0.35-0.40 (grids in /tmp repro'd twice — entropy and exploration
     # changes do not rescue the 5e-4 collapse).
+    # Round-3 18-config stabilizer grid (validation/sweep_coma_lbf.jsonl)
+    # on that plateau: a wider (128) critic with faster critic lr (3e-4)
+    # lifts the tail to 0.44 — adopted below; target-polyak rate, n-step
+    # vs TD(λ) targets, return normalization, deeper/wider-still critics
+    # and longer budgets are all flat or worse. NEGATIVE RESULT vs the
+    # 0.5 stretch bar (VERDICT r2 next-10): the remaining gap to IPPO's
+    # 0.83 is the algorithm (counterfactual-advantage variance on sparse
+    # cooperative loading), not a tuning artifact.
     # recurrent value decomposition on SMAC (reference flagship family
     # qmix_lstm.py @ 3m, defaults hidden 64 / lr 5e-4 / batch 32 episodes /
     # train_freq 1 episode / polyak 0.005 / eps 1→0.025 over 5%;
@@ -123,12 +131,12 @@ CONFIGS = {
             num_envs=64, total_timesteps=2_000_000,
             per_agent_rewards=True, bootstrap_truncation=True,
             entropy_coef=0.003, exploration_fraction=3000.0,
-            learning_rate_actor=1e-4, learning_rate_critic=1e-4,
+            learning_rate_actor=1e-4, learning_rate_critic=3e-4,
             anneal_lr=True,
-            actor_hidden_dim=64, critic_hidden_dim=64,
+            actor_hidden_dim=64, critic_hidden_dim=128,
             log_interval=4,
         ),
-        threshold=0.3,   # stable-COMA tail ~0.35-0.40; optimum 1.0
+        threshold=0.38,  # improved-recipe tail 0.44; optimum 1.0
     ),
 }
 

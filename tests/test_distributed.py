@@ -70,6 +70,31 @@ def test_vdn_block_runs_sharded_with_buffer():
     assert float(out.step) == 20
 
 
+def test_mappo_minibatched_sharded_matches_unsharded():
+    """num_minibatches>1 dynamic-slices the SHARDED env axis per epoch —
+    the sharded program must still reproduce the unsharded numerics."""
+    env = MatrixGame(n_agents=2, n_actions=3, episode_limit=8)
+    cfg = PPOConfig(env_type="matrix", num_envs=16, num_minibatches=4,
+                    total_timesteps=4096, log_interval=2, seed=0)
+    init, train_block, eval_fn, meta = make_mappo(cfg, env)
+    runner = init(jax.random.PRNGKey(0))
+    mesh = make_mesh()
+    sharded = shard_runner(init(jax.random.PRNGKey(0)), mesh,
+                           DATA_FIELD_DIMS["PPO"])
+    out, metrics = train_block(sharded)
+    ref, ref_metrics = train_block(runner)
+    np.testing.assert_allclose(
+        float(metrics["train/actor_loss"]),
+        float(ref_metrics["train/actor_loss"]),
+        rtol=1e-4, atol=1e-5,
+    )
+    for a, b in zip(jax.tree.leaves(out.actor_params),
+                    jax.tree.leaves(ref.actor_params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5,
+        )
+
+
 def test_qmix_sharded_episode_ring_matches_unsharded():
     """The riskiest sharded path (VERDICT r2 missing-5): the episode
     accumulator→ring commit scatters completed episodes at GLOBAL dest
