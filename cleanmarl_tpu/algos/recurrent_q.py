@@ -95,6 +95,9 @@ class RecurrentQConfig:
     # per-crossing semantics; per-iteration cost grows with num_envs)
     compute_dtype: str = "float32"   # "bfloat16": update-path matmuls run
     # with bf16 operands + f32 accumulation (params/carries stay f32)
+    gru_impl: str = "xla"            # "pallas": the online sequence
+    # recompute in the loss runs the fused Pallas GRU kernel
+    # (ops/pallas_gru.py); requires tbptt=0
     target_network_update_freq: int = 1
     polyak: float = 0.01
     clip_gradients: float = -1.0
@@ -174,6 +177,10 @@ def make_train(cfg: RecurrentQConfig, env=None):
         raise ValueError(f"compute_dtype must be float32|bfloat16, "
                          f"got {cfg.compute_dtype!r}")
     mm_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    if cfg.gru_impl not in ("xla", "pallas"):
+        raise ValueError(f"gru_impl must be xla|pallas, got {cfg.gru_impl!r}")
+    if cfg.gru_impl == "pallas" and cfg.tbptt:
+        raise ValueError("gru_impl='pallas' does not support tbptt>0")
 
     def mix(params, agent_qs, state):
         """Team value from per-agent values."""
@@ -316,7 +323,8 @@ def make_train(cfg: RecurrentQConfig, env=None):
         # ---- online stream --------------------------------------------
         def loss_fn(p):
             _, q = nets.rnn_seq_apply(
-                p["q"], h0, tm["obs"], tbptt=cfg.tbptt, dtype=mm_dtype
+                p["q"], h0, tm["obs"], tbptt=cfg.tbptt, dtype=mm_dtype,
+                impl=cfg.gru_impl,
             )
             q_taken = jnp.take_along_axis(
                 q, tm["action"][..., None], axis=-1
