@@ -19,6 +19,7 @@ from cleanmarl_tpu.algos.ppo_common import PPOConfig
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="validation/mappo_rnn_3m.jsonl")
+    ap.add_argument("--env_name", default="3m")
     ap.add_argument("--total_timesteps", type=int, default=20_000_000)
     ap.add_argument("--num_envs", type=int, default=256)
     ap.add_argument("--rollout_len", type=int, default=60)
@@ -48,7 +49,7 @@ def main():
     args = ap.parse_args()
 
     cfg = PPOConfig(
-        env_type="smaclite", env_name="3m", agent_ids=True,
+        env_type="smaclite", env_name=args.env_name, agent_ids=True,
         recurrent=True, num_envs=args.num_envs, rollout_len=args.rollout_len,
         actor_hidden_dim=args.hidden, critic_hidden_dim=args.hidden,
         learning_rate_actor=args.lr, learning_rate_critic=args.lr,
