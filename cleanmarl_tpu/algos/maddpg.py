@@ -392,6 +392,8 @@ def make_train(cfg: MADDPGConfig, env=None):
             "train/actor_gradients": runner.last_actor_gnorm,
             "train/critic_gradients": runner.last_critic_gnorm,
             "train/num_updates": runner.num_updates,
+            # nonzero = capped cadence deferring updates (core/cadence.py)
+            "train/update_debt": runner.update_debt,
         }
         return runner.replace(stats=runner.stats.flush()), metrics
 

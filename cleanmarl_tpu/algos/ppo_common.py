@@ -180,6 +180,11 @@ def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
         raise ValueError(f"gru_impl must be xla|pallas, got {cfg.gru_impl!r}")
     if cfg.gru_impl == "pallas" and cfg.tbptt:
         raise ValueError("gru_impl='pallas' does not support tbptt>0")
+    if cfg.gru_impl == "pallas" and mm_dtype is not None:
+        raise ValueError(
+            "gru_impl='pallas' with compute_dtype='bfloat16' is not "
+            "supported (the fused kernel's recurrent matmul is f32)"
+        )
     mm_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
     def actor_step(actor_params, h, obs, avail):
@@ -499,9 +504,13 @@ def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
     )
     Hc = cfg.critic_hidden_dim
     macs_critic = critic_in * Hc + cfg.critic_num_layers * Hc * Hc + Hc
+    # decentralized (IPPO) evaluates the critic per agent; the bootstrap
+    # V(o_T) runs once per ROLLOUT, i.e. 1/rollout_len per env step
+    n_critic = 1 if centralized else env.n_agents
+    critic_evals = 1 + 1.0 / rollout_len + 3 * cfg.epochs
     per_step_macs = (
         env.n_agents * macs_actor * (1 + 3 * cfg.epochs)   # act + recompute
-        + macs_critic * (1 + 1 + 3 * cfg.epochs)           # adv + bootstrap + loss
+        + n_critic * macs_critic * critic_evals            # adv+boot+loss
     )
     meta = {
         "rollout_len": rollout_len,

@@ -350,6 +350,10 @@ def make_train(cfg: QMIXConfig, env=None):
             "train/loss": runner.last_loss,
             "train/grads": runner.last_gnorm,
             "train/num_updates": runner.num_updates,
+            # nonzero = max_updates_per_iter deferred due updates; a
+            # GROWING value means sustained overload — scale train_freq
+            # with the env batch (core/cadence.py)
+            "train/update_debt": runner.update_debt,
         }
         return runner.replace(stats=runner.stats.flush()), metrics
 

@@ -181,6 +181,11 @@ def make_train(cfg: RecurrentQConfig, env=None):
         raise ValueError(f"gru_impl must be xla|pallas, got {cfg.gru_impl!r}")
     if cfg.gru_impl == "pallas" and cfg.tbptt:
         raise ValueError("gru_impl='pallas' does not support tbptt>0")
+    if cfg.gru_impl == "pallas" and mm_dtype is not None:
+        raise ValueError(
+            "gru_impl='pallas' with compute_dtype='bfloat16' is not "
+            "supported (the fused kernel's recurrent matmul is f32)"
+        )
 
     def mix(params, agent_qs, state):
         """Team value from per-agent values."""
@@ -273,7 +278,8 @@ def make_train(cfg: RecurrentQConfig, env=None):
         h_u = jax.lax.stop_gradient(h_u)
 
         _, q_next = nets.rnn_seq_apply(
-            target_params["q"], h_t, tm["next_obs"][bi:], dtype=mm_dtype
+            target_params["q"], h_t, tm["next_obs"][bi:], dtype=mm_dtype,
+            impl=cfg.gru_impl,
         )
         q_next_max = nets.masked_q(q_next, tm["next_avail"][bi:]).max(axis=-1)
         # (L-bi, B, n)
@@ -283,7 +289,7 @@ def make_train(cfg: RecurrentQConfig, env=None):
 
         def loss_fn(p):
             _, q = nets.rnn_seq_apply(p["q"], h_u, tm["obs"][bi:],
-                                      dtype=mm_dtype)
+                                      dtype=mm_dtype, impl=cfg.gru_impl)
             q_taken = jnp.take_along_axis(
                 q, tm["action"][bi:][..., None], axis=-1
             )[..., 0]
@@ -430,6 +436,8 @@ def make_train(cfg: RecurrentQConfig, env=None):
             "train/loss": runner.last_loss,
             "train/grads": runner.last_gnorm,
             "train/num_updates": runner.num_updates,
+            # nonzero = capped cadence deferring updates (core/cadence.py)
+            "train/update_debt": runner.update_debt,
         }
         return runner.replace(stats=runner.stats.flush()), metrics
 

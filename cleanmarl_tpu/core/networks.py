@@ -256,6 +256,14 @@ def rnn_seq_apply(params, h0, x_seq, reset_seq=None, tbptt: int = 0,
         if tbptt:
             raise ValueError("impl='pallas' does not support tbptt>0 "
                              "(use the xla scan path)")
+        if dtype is not None:
+            # the fused kernel's recurrent matmul is f32; silently mixing
+            # it with reduced-dtype input projections would diverge from
+            # the scan path's numerics
+            raise ValueError(
+                "impl='pallas' does not support a reduced compute dtype "
+                "(use the xla scan path for bfloat16 matmuls)"
+            )
         return _rnn_seq_apply_pallas(params, h0, x_seq, reset_seq, dtype)
     gi = gru_input_proj(params, x_seq, dtype)               # (T, ..., 3H)
     if reset_seq is not None:

@@ -7,9 +7,14 @@ is k slots and the surplus carries as debt. This measures steady-state
 env-steps/s on SMAClite 3m at 1024/4096 envs, capped vs uncapped, and
 appends JSON lines to validation/qmix_cap_throughput_r3.jsonl.
 
-Note the EFFECTIVE REPLAY RATIO differs only transiently: debt drains on
-quiet iterations, so long-run updates/episode is identical; with the cap
-the updates arrive a few iterations later within each burst.
+Replay-ratio caveat (borne out by this script's own data): when the
+steady-state due-rate exceeds the cap — as it does on 3m at ≥1024 envs
+with train_freq=1 — the debt grows without bound and the effective
+updates/episode IS reduced; the cap is then a throughput guard, and the
+correct configuration scales train_freq with the env batch
+(core/cadence.py). Below the cap the schedules are bit-identical
+(tests/test_cadence.py). ``train/update_debt`` is logged so overload is
+visible at runtime.
 """
 import json
 import time
@@ -51,7 +56,8 @@ def main():
         try:
             rec = measure(num_envs, cap)
         except Exception as e:
-            rec = {"num_envs": num_envs, "cap": cap, "error": str(e)[:300]}
+            rec = {"num_envs": num_envs, "max_updates_per_iter": cap,
+                   "error": str(e)[:300]}
         print(json.dumps(rec), flush=True)
         out.write(json.dumps(rec) + "\n")
         out.flush()

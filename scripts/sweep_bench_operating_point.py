@@ -14,21 +14,29 @@ import jax
 
 
 def measure(overrides, n_timed=3):
-    from scripts.check_bench_memory import bench_config, compiled_memory_gb
+    from scripts.check_bench_memory import bench_config
     from cleanmarl_tpu.algos.mappo import make_train
 
     cfg = bench_config(**overrides)
-    t0 = time.perf_counter()
-    hbm_gb, _, _ = compiled_memory_gb(cfg)
-    compile_s = time.perf_counter() - t0
-
     init, train_block, _, meta = make_train(cfg)
     runner = init(jax.random.PRNGKey(0))
-    runner, metrics = train_block(runner)
+    # one AOT compile serves both the memory analysis and the timed
+    # execution (calling the jitted train_block would recompile)
+    t0 = time.perf_counter()
+    compiled = train_block.lower(runner).compile()
+    compile_s = time.perf_counter() - t0
+    mem = compiled.memory_analysis()
+    hbm_gb = (
+        mem.argument_size_in_bytes + mem.output_size_in_bytes
+        + mem.temp_size_in_bytes + mem.generated_code_size_in_bytes
+        - mem.alias_size_in_bytes
+    ) / 2**30
+
+    runner, metrics = compiled(runner)
     float(metrics["train/actor_loss"])  # force completion
     t0 = time.perf_counter()
     for _ in range(n_timed):
-        runner, metrics = train_block(runner)
+        runner, metrics = compiled(runner)
         float(metrics["train/actor_loss"])
     elapsed = time.perf_counter() - t0
     sps = meta["steps_per_block"] * n_timed / elapsed

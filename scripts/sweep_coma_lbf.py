@@ -105,15 +105,21 @@ def main():
     env = dict(os.environ)
     env["PYTHONPATH"] = f"{REPO}:/root/.axon_site"
     for ov in grid:
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--one",
-             json.dumps(ov)],
-            capture_output=True, text=True, timeout=3600, env=env, cwd=REPO,
-        )
-        rec = {"overrides": ov, "error": p.stdout[-200:] + p.stderr[-200:]}
-        for line in p.stdout.splitlines():
-            if line.startswith("RESULT "):
-                rec = json.loads(line[len("RESULT "):])
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one",
+                 json.dumps(ov)],
+                capture_output=True, text=True, timeout=3600, env=env,
+                cwd=REPO,
+            )
+            rec = {"overrides": ov,
+                   "error": p.stdout[-200:] + p.stderr[-200:]}
+            for line in p.stdout.splitlines():
+                if line.startswith("RESULT "):
+                    rec = json.loads(line[len("RESULT "):])
+        except subprocess.TimeoutExpired:
+            # one slow config must not abort the remaining grid
+            rec = {"overrides": ov, "error": "timeout after 3600s"}
         print(json.dumps(rec), flush=True)
         out.write(json.dumps(rec) + "\n")
         out.flush()
