@@ -121,8 +121,34 @@ CONFIGS = {
             exploration_fraction=0.05, end_e=0.025,
             max_updates_per_iter=8, log_interval=50,
         ),
-        threshold=0.85,  # eval battle_won (validated tail 0.97, r3 run)
+        threshold=0.85,  # eval battle_won (tails 0.991/0.994/0.978, s1-3)
         metric="eval/battle_won",
+    ),
+    # recurrent VDN (vdn_lstm family) on the same map/recipe
+    "vdn_rnn_3m": dict(
+        algo="recurrent_q",
+        kwargs=dict(
+            env_type="smaclite", env_name="3m", mixing="vdn",
+            num_envs=64, total_timesteps=2_000_000,
+            buffer_size=5_000, batch_size=32, train_freq=1,
+            learning_rate=5e-4, polyak=0.005, hidden_dim=64,
+            exploration_fraction=0.05, end_e=0.025,
+            max_updates_per_iter=8, log_interval=50,
+        ),
+        threshold=0.85,  # eval battle_won (validated tail 0.99, r3 run)
+        metric="eval/battle_won",
+    ),
+    # recurrent MADDPG (maddpg_lstm family) on the FF-validated env
+    "maddpg_rnn_sl": dict(
+        algo="maddpg",
+        kwargs=dict(
+            env_type="mpe", env_name="simple_speaker_listener_v4",
+            num_envs=32, total_timesteps=2_000_000,
+            buffer_size=5_000, batch_size=32, recurrent=True,
+            actor_hidden_dim=64, critic_hidden_dim=128,
+            log_interval=40,
+        ),
+        threshold=-30.0,  # FF maddpg_sl converges ~-18; margin for GRU
     ),
     "coma_lbf": dict(
         algo="coma",
