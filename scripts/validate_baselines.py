@@ -138,6 +138,60 @@ CONFIGS = {
         threshold=0.85,  # eval battle_won (validated tail 0.99, r3 run)
         metric="eval/battle_won",
     ),
+    # recurrent IPPO (ippo_lstm family) on the FF-validated env
+    "ippo_rnn_lbf": dict(
+        algo="ippo",
+        kwargs=dict(
+            env_type="lbf", env_name="Foraging-8x8-2p-3f-v3",
+            num_envs=64, total_timesteps=2_000_000, recurrent=True,
+            learning_rate_actor=5e-4, learning_rate_critic=5e-4,
+            entropy_coef=0.01, anneal_entropy=True, epochs=4,
+            normalize_advantage=True, actor_hidden_dim=64,
+            critic_hidden_dim=64, log_interval=4,
+        ),
+        threshold=0.7,   # FF ippo_lbf tail 0.833 (validated r3: 0.84)
+    ),
+    # recurrent COMA (coma_lstm family) on the improved coma_lbf recipe
+    "coma_rnn_lbf": dict(
+        algo="coma",
+        kwargs=dict(
+            env_type="lbf", env_name="Foraging-8x8-2p-3f-v3",
+            num_envs=64, total_timesteps=2_000_000, recurrent=True,
+            per_agent_rewards=True, bootstrap_truncation=False,
+            entropy_coef=0.003, exploration_fraction=3000.0,
+            learning_rate_actor=1e-4, learning_rate_critic=3e-4,
+            anneal_lr=True,
+            actor_hidden_dim=64, critic_hidden_dim=128,
+            log_interval=4,
+        ),
+        threshold=0.3,   # FF improved recipe tails 0.44/0.40
+    ),
+    # store-once episode layout (qmix_memefficient.py parity flag)
+    "qmix_spread_memeff": dict(
+        algo="qmix",
+        kwargs=dict(
+            env_type="mpe", env_name="simple_spread_v3",
+            num_envs=32, total_timesteps=2_000_000,
+            buffer_size=5_000, batch_size=32, memefficient=True,
+            exploration_fraction=0.1, hidden_dim=64,
+            log_interval=40,
+        ),
+        threshold=-30.0,  # full-storage qmix_spread tail -19.5
+    ),
+    # sequence-chunk replay + burn-in (vdn_lstm.py storage model)
+    "vdn_rnn_seq_3m": dict(
+        algo="recurrent_q",
+        kwargs=dict(
+            env_type="smaclite", env_name="3m", mixing="vdn",
+            replay="sequence", seq_length=10, burn_in=8,
+            num_envs=64, total_timesteps=2_000_000,
+            buffer_size=20_000, batch_size=32, train_freq=1,
+            learning_rate=5e-4, polyak=0.005, hidden_dim=64,
+            exploration_fraction=0.05, end_e=0.025, log_interval=50,
+        ),
+        threshold=0.75,  # validated tail 0.919 (r3); below full-episode's 0.97
+        metric="eval/battle_won",
+    ),
     # recurrent MADDPG (maddpg_lstm family) on the FF-validated env
     "maddpg_rnn_sl": dict(
         algo="maddpg",
