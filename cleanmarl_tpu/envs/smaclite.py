@@ -284,10 +284,11 @@ class MicroCombat(Environment):
             )
         return jnp.concatenate(feats, axis=-1)
 
-    def _obs(self, s: SmacState) -> chex.Array:
+    def _obs(self, s: SmacState, avail=None) -> chex.Array:
         alive = s.ally_hp > 0.0
         enemy_alive = s.enemy_hp > 0.0
-        avail = self._avail(s)
+        if avail is None:
+            avail = self._avail(s)
         move_feats = avail[:, 2:6].astype(jnp.float32)               # (A,4)
 
         delta_e = s.enemy_pos[None, :, :] - s.ally_pos[:, None, :]   # (A,E,2)
@@ -383,10 +384,11 @@ class MicroCombat(Environment):
         )
 
     def _timestep(self, s, reward, done, truncated, won):
+        avail = self._avail(s)           # computed once, shared with _obs
         return TimeStep(
-            obs=self._obs(s),
+            obs=self._obs(s, avail),
             state=self._state(s),
-            avail=self._avail(s),
+            avail=avail,
             reward=jnp.asarray(reward, jnp.float32),
             done=jnp.asarray(done, jnp.bool_),
             truncated=jnp.asarray(truncated, jnp.bool_),
