@@ -93,3 +93,40 @@ def test_use_wnb_reaches_wandb_init(monkeypatch):
     assert calls["config"]["use_wnb"] is True
     logger.close()
     assert calls.get("finished") is True
+
+
+def test_checkpoint_roundtrip_episode_ring_qmix():
+    """The episode ring + accumulator pytrees (capacity scratch row,
+    cursors, per-env partial episodes, update debt) must survive a
+    save/restore bit-exactly — the off-policy episode-cadence family's
+    whole learning state lives there."""
+    from cleanmarl_tpu.algos.qmix import QMIXConfig, make_train as mk
+
+    env = MatrixGame(n_agents=2, n_actions=3, episode_limit=8)
+    cfg = QMIXConfig(env_type="matrix", num_envs=4, buffer_size=64,
+                     batch_size=8, total_timesteps=1280, log_interval=20,
+                     max_updates_per_iter=2, seed=0)
+    init, train_block, _ = mk(cfg, env)
+    runner = init(jax.random.PRNGKey(0))
+    runner, _ = train_block(runner)
+
+    with tempfile.TemporaryDirectory() as d:
+        ckpt = Checkpointer(d)
+        ckpt.save(int(runner.step), runner, wait=True)
+        restored = ckpt.restore(init(jax.random.PRNGKey(9)))
+        for a, b in zip(jax.tree.leaves(restored.ring.data),
+                        jax.tree.leaves(runner.ring.data)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert int(restored.ring.size) == int(runner.ring.size)
+        assert int(restored.ring.cursor) == int(runner.ring.cursor)
+        np.testing.assert_array_equal(
+            np.asarray(restored.acc.t), np.asarray(runner.acc.t)
+        )
+        assert int(restored.update_debt) == int(runner.update_debt)
+        # both continue identically
+        a, ma = train_block(runner)
+        b, mb = train_block(restored)
+        np.testing.assert_allclose(
+            float(ma["train/loss"]), float(mb["train/loss"]), rtol=1e-6
+        )
+        ckpt.close()
