@@ -180,12 +180,12 @@ def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
         raise ValueError(f"gru_impl must be xla|pallas, got {cfg.gru_impl!r}")
     if cfg.gru_impl == "pallas" and cfg.tbptt:
         raise ValueError("gru_impl='pallas' does not support tbptt>0")
+    mm_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
     if cfg.gru_impl == "pallas" and mm_dtype is not None:
         raise ValueError(
             "gru_impl='pallas' with compute_dtype='bfloat16' is not "
             "supported (the fused kernel's recurrent matmul is f32)"
         )
-    mm_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
     def actor_step(actor_params, h, obs, avail):
         """One actor forward. → (h', masked logits)."""
@@ -497,6 +497,11 @@ def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
     # compiled cost_analysis counts each lax.scan body ONCE rather than
     # ×length, so it undercounts scanned training loops ~(T·epochs)× —
     # bench MFU uses this count instead. Backward pass ≈ 2× forward.
+    # env.obs_dim here is the WRAPPED width: with cfg.agent_ids the
+    # registry's AgentIDWrapper has already added n_agents to obs_dim
+    # (envs/wrappers.py:19), so this is the true fc1 input width.
+    # Bias adds and GRU gating elementwise FLOPs are excluded by design
+    # (matmul-MACs-only transparency metric).
     macs_actor = (
         env.obs_dim * H + H * 3 * H + H * 3 * H + H * env.n_actions
         if cfg.recurrent else
