@@ -46,6 +46,12 @@ class HostEnvFamily:
         self.state_dim = probe.state_dim
         self.n_actions = probe.n_actions
         self.episode_limit = probe.episode_limit
+        # host envs that report per-agent rewards (the reference's LBF
+        # info["agent_rewards"], lbf.py:44-47) declare it statically so
+        # the io_callback result shapes stay fixed
+        self.provides_agent_rewards = bool(
+            getattr(probe, "provides_agent_rewards", False)
+        )
         probe.close()
         self._seed = seed
 
@@ -77,17 +83,15 @@ class HostVecEnv:
             reward=jax.ShapeDtypeStruct((E,), jnp.float32),
             done=jax.ShapeDtypeStruct((E,), jnp.bool_),
             truncated=jax.ShapeDtypeStruct((E,), jnp.bool_),
+            battle_won=jax.ShapeDtypeStruct((E,), jnp.float32),
         )
+        if family.provides_agent_rewards:
+            ts_struct["agent_rewards"] = jax.ShapeDtypeStruct(
+                (E, n), jnp.float32
+            )
         self._step_struct = (ts_struct, dict(ts_struct))
 
     # -- host side ------------------------------------------------------
-    def _snapshot(self, env):
-        return (
-            env._last_obs if env._last_obs is not None else env.reset(),
-            env.get_state(),
-            env.get_avail_actions(),
-        )
-
     def _host_reset(self):
         obs, state, avail = [], [], []
         for i, env in enumerate(self.envs):
@@ -96,53 +100,70 @@ class HostVecEnv:
             obs.append(o)
             state.append(env.get_state())
             avail.append(env.get_avail_actions())
-        E = self.num_envs
-        return dict(
+        E, n = self.num_envs, self.n_agents
+        d = dict(
             obs=np.stack(obs).astype(np.float32),
             state=np.stack(state).astype(np.float32),
             avail=np.stack(avail),
             reward=np.zeros(E, np.float32),
             done=np.zeros(E, bool),
             truncated=np.zeros(E, bool),
+            battle_won=np.zeros(E, np.float32),
         )
+        if self.family.provides_agent_rewards:
+            d["agent_rewards"] = np.zeros((E, n), np.float32)
+        return d
 
     def _host_step(self, actions):
         actions = np.asarray(actions)
         live, final = [], []
         for i, env in enumerate(self.envs):
-            obs, reward, done, truncated, = env.step(actions[i])
+            out = env.step(actions[i])
+            # step protocol: (obs, reward, done, truncated[, info]) —
+            # info carries battle_won / agent_rewards when the env has them
+            obs, reward, done, truncated = out[:4]
+            info = out[4] if len(out) > 4 else {}
+            bw = float(info.get("battle_won", 0.0))
+            ar = info.get("agent_rewards")
             self._t[i] += 1
             if self._t[i] >= self.episode_limit and not done:
                 truncated = True
             state = env.get_state()
             avail = env.get_avail_actions()
-            final.append((obs, state, avail, reward, done, truncated))
+            final.append((obs, state, avail, reward, done, truncated, bw, ar))
             if self.auto_reset and (done or truncated):
                 obs = env.reset(seed=int(self._rng.randint(0, 2**31 - 1)))
                 self._t[i] = 0
                 state = env.get_state()
                 avail = env.get_avail_actions()
-            live.append((obs, state, avail, reward, done, truncated))
+            live.append((obs, state, avail, reward, done, truncated, bw, ar))
 
         def pack(rows):
-            obs, state, avail, reward, done, trunc = zip(*rows)
-            return dict(
+            obs, state, avail, reward, done, trunc, bw, ar = zip(*rows)
+            d = dict(
                 obs=np.stack(obs).astype(np.float32),
                 state=np.stack(state).astype(np.float32),
                 avail=np.stack(avail),
                 reward=np.asarray(reward, np.float32),
                 done=np.asarray(done, bool),
                 truncated=np.asarray(trunc, bool),
+                battle_won=np.asarray(bw, np.float32),
             )
+            if self.family.provides_agent_rewards:
+                d["agent_rewards"] = np.stack(ar).astype(np.float32)
+            return d
 
         return pack(live), pack(final)
 
     # -- device side ----------------------------------------------------
     def _to_ts(self, d) -> TimeStep:
+        info = {"battle_won": d["battle_won"]}
+        if "agent_rewards" in d:
+            info["agent_rewards"] = d["agent_rewards"]
         return TimeStep(
             obs=d["obs"], state=d["state"], avail=d["avail"],
             reward=d["reward"], done=d["done"], truncated=d["truncated"],
-            info={"battle_won": jnp.zeros_like(d["reward"])},
+            info=info,
         )
 
     def reset(self, key):

@@ -1,0 +1,141 @@
+"""Host-env info plumbing (battle_won / agent_rewards) and the
+episode-ring family over the io_callback path.
+
+Round-3 gap being closed: ``HostVecEnv._to_ts`` hardwired
+``battle_won=0`` for every host env (a host-wrapped combat env would
+silently log zero win rates), and no episode-ring family (whose
+accumulator consumes the pre-reset ``final`` snapshot) ever ran against
+the host path. The scripted host env here needs no external wheel.
+
+Reference surface: the Pipe-worker env protocol of
+vdn_multienvs.py:229-297, which forwards the wrapped env's info dict
+(battle_won for SMAClite, agent_rewards for LBF) to the learner.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cleanmarl_tpu.envs.external import HostEnvFamily
+
+
+class ScriptedHostEnv:
+    """Deterministic host env: episode of length 4; reward = sum of
+    actions; per-agent rewards = own action; battle_won on the final
+    step iff every agent played action 1."""
+
+    n_agents = 2
+    obs_dim = 3
+    state_dim = 5
+    n_actions = 3
+    episode_limit = 4
+    provides_agent_rewards = True
+
+    def __init__(self):
+        self.t = 0
+        self._won = 0.0
+
+    def close(self):
+        pass
+
+    def reset(self, seed=None):
+        self.t = 0
+        self._won = 0.0
+        return self._obs()
+
+    def _obs(self):
+        base = np.full((self.n_agents, self.obs_dim), float(self.t), np.float32)
+        return base
+
+    def get_state(self):
+        return np.full((self.state_dim,), float(self.t), np.float32)
+
+    def get_avail_actions(self):
+        return np.ones((self.n_agents, self.n_actions), bool)
+
+    def step(self, actions):
+        actions = np.asarray(actions)
+        self.t += 1
+        done = self.t >= self.episode_limit
+        won = float(done and np.all(actions == 1))
+        info = {
+            "battle_won": won,
+            "agent_rewards": actions.astype(np.float32),
+        }
+        return self._obs(), float(actions.sum()), done, False, info
+
+
+def make_family():
+    return HostEnvFamily(ScriptedHostEnv, seed=0)
+
+
+def test_info_plumbs_through_jitted_step():
+    fam = make_family()
+    assert fam.provides_agent_rewards
+    vec = fam.make_vec(2)
+    token, ts0 = vec.reset(jax.random.PRNGKey(0))
+    assert float(ts0.info["battle_won"].sum()) == 0.0
+
+    @jax.jit
+    def roll(token):
+        def body(token, _):
+            actions = jnp.ones((2, 2), jnp.int32)  # all-1s → win at t=4
+            token, ts, final = vec.step(token, actions, None)
+            return token, (ts.info["battle_won"], final.info["battle_won"],
+                           ts.info["agent_rewards"], ts.reward)
+
+        return jax.lax.scan(body, token, None, length=4)
+
+    token, (bw_live, bw_final, ar, rew) = roll(token)
+    # the win lands on the terminal step, in the FINAL (pre-reset) view
+    np.testing.assert_allclose(np.asarray(bw_final)[-1], 1.0)
+    np.testing.assert_allclose(np.asarray(bw_final)[:-1], 0.0)
+    # per-agent rewards arrive un-aggregated; team reward is their sum
+    np.testing.assert_allclose(np.asarray(ar), 1.0)
+    np.testing.assert_allclose(np.asarray(rew), 2.0)
+    vec.close()
+
+
+def test_host_env_without_info_defaults_to_zero():
+    class Plain(ScriptedHostEnv):
+        provides_agent_rewards = False
+
+        def step(self, actions):
+            obs, r, d, tr, _ = super().step(actions)
+            return obs, r, d, tr  # 4-tuple legacy protocol
+
+    fam = HostEnvFamily(Plain, seed=0)
+    assert not fam.provides_agent_rewards
+    vec = fam.make_vec(2)
+    token, ts0 = vec.reset(jax.random.PRNGKey(0))
+    assert "agent_rewards" not in ts0.info
+    token, ts, final = jax.jit(
+        lambda t: vec.step(t, jnp.ones((2, 2), jnp.int32), None)
+    )(token)
+    np.testing.assert_allclose(np.asarray(ts.info["battle_won"]), 0.0)
+    vec.close()
+
+
+def test_qmix_episode_ring_trains_on_host_env():
+    """Episode-ring family (accumulator + pre-reset ``final`` snapshot)
+    over the host path: the ring must commit full host episodes and the
+    stats must surface the host-reported battle_won."""
+    from cleanmarl_tpu.algos.qmix import QMIXConfig, make_train
+
+    cfg = QMIXConfig(
+        env_type="matrix",  # ignored: env passed explicitly
+        num_envs=4, buffer_size=64, total_timesteps=800,
+        train_freq=1, batch_size=4, hidden_dim=16, hyper_dim=8,
+        embed_dim=4, log_interval=25, num_eval_ep=2, seed=0,
+        start_e=1.0, end_e=1.0,  # uniform random: some all-1s steps land
+    )
+    init, train_block, eval_fn = make_train(cfg, make_family())
+    runner = init(jax.random.PRNGKey(0))
+    runner, metrics = train_block(runner)
+    assert np.isfinite(float(metrics["train/loss"]))
+    assert int(runner.num_updates) > 0
+    # 25 iters × 4 envs / episode_limit 4 → ≥ 20 committed episodes
+    assert float(metrics["rollout/num_episodes"]) >= 20
+    # uniform-random on 3 actions: P(win per episode) = (1/9)^... > 0
+    # just demand the counter is finite and in [0, 1]
+    bw = float(metrics["rollout/battle_won"])
+    assert 0.0 <= bw <= 1.0
