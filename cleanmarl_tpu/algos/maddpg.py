@@ -352,12 +352,11 @@ def make_train(cfg: MADDPGConfig, env=None):
          a_loss, c_loss, a_gnorm, c_gnorm) = cadence.run_due_updates(
             carry0, update_slot, k_upd, n_run, n_slots
         )
-        # k polyak steps collapse exactly to one with 1-(1-τ)^k
-        due_t = jnp.where(
-            warm,
-            episodes // cfg.target_network_update_freq
-            - runner.episodes // cfg.target_network_update_freq,
-            0,
+        # k polyak steps collapse exactly to one with 1-(1-τ)^k;
+        # crossings counted on the serviced-update clock (cadence.target_due)
+        due_t = cadence.target_due(
+            runner.num_updates, n_run,
+            cfg.train_freq, cfg.target_network_update_freq,
         )
         tau_eff = 1.0 - jnp.power(1.0 - cfg.polyak, due_t.astype(jnp.float32))
         target_actor, target_critic = jax.lax.cond(

@@ -300,12 +300,11 @@ def make_train(cfg: QMIXConfig, env=None):
              runner.last_gnorm),
             update_slot, k_sample, n_run, n_slots,
         )
-        # k polyak steps collapse exactly to one with 1-(1-τ)^k
-        due_t = jnp.where(
-            warm,
-            episodes // cfg.target_network_update_freq
-            - runner.episodes // cfg.target_network_update_freq,
-            0,
+        # k polyak steps collapse exactly to one with 1-(1-τ)^k;
+        # crossings counted on the serviced-update clock (cadence.target_due)
+        due_t = cadence.target_due(
+            runner.num_updates, n_run,
+            cfg.train_freq, cfg.target_network_update_freq,
         )
         if cfg.hard_target:
             tau_eff = 1.0

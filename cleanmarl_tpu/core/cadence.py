@@ -59,3 +59,22 @@ def run_due_updates(carry, update_fn, key, n_run, n_slots: int):
     keys = jax.random.split(key, n_slots)
     carry, _ = jax.lax.scan(slot, carry, (jnp.arange(n_slots), keys))
     return carry
+
+
+def target_due(prev_updates, n_run, train_freq: int, target_freq: int):
+    """Target-network-update crossings, driven by EXECUTED updates.
+
+    Each executed gradient update services one ``train_freq``-episode
+    crossing, so ``num_updates * train_freq`` is the *serviced* episode
+    clock. Counting ``target_freq`` crossings on that clock (instead of
+    the raw episode clock) keeps the target/online coupling of the
+    reference (qmix.py:377-380: both cadences advance together) intact
+    under ``max_updates_per_iter``: deferred updates defer their target
+    steps with them, rather than letting targets advance over debt.
+    Uncapped, the crossing count is identical to the episode clock
+    (timing shifts by <train_freq episodes when target_freq is not a
+    multiple of train_freq).
+    """
+    prev = prev_updates.astype(jnp.int32) * train_freq
+    now = prev + n_run.astype(jnp.int32) * train_freq
+    return now // target_freq - prev // target_freq

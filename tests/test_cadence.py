@@ -83,3 +83,36 @@ def test_slot_scan_inside_jit():
 
     debt, ran = step(jnp.zeros((), jnp.int32), jnp.asarray(7))
     assert int(debt) == 3 and float(ran) == 4.0
+
+
+def test_target_due_uncapped_matches_episode_clock():
+    """Uncapped (n_run == due crossings), target_due reproduces the
+    raw episode-clock crossing count for multiple-of-train_freq freqs."""
+    train_freq, target_freq = 2, 4
+    prev_updates = jnp.zeros(())
+    total_new, total_old = 0, 0
+    episodes_prev = 0
+    for episodes in (3, 4, 9, 10, 16):
+        due = episodes // train_freq - episodes_prev // train_freq
+        n_run = jnp.asarray(due)  # uncapped
+        total_new += int(cadence.target_due(
+            prev_updates, n_run, train_freq, target_freq))
+        total_old += episodes // target_freq - episodes_prev // target_freq
+        prev_updates = prev_updates + n_run
+        episodes_prev = episodes
+    assert total_new == total_old == 4
+
+
+def test_target_due_defers_with_debt():
+    """Capped: targets advance only with EXECUTED updates — 5 crossings
+    due but only 2 run ⇒ 2 target steps now, the rest when debt drains
+    (ADVICE r3: no target drift over deferred updates)."""
+    n_run, debt = cadence.bounded_due(jnp.zeros((), jnp.int32),
+                                      jnp.asarray(5), 2)
+    assert int(n_run) == 2 and int(debt) == 3
+    d1 = cadence.target_due(jnp.zeros(()), n_run, 1, 1)
+    assert int(d1) == 2
+    # next iteration: debt drains, targets catch up exactly
+    n_run2, debt2 = cadence.bounded_due(debt, jnp.asarray(0), 2)
+    d2 = cadence.target_due(jnp.asarray(2.0), n_run2, 1, 1)
+    assert int(d2) == 2 and int(debt2) == 1
