@@ -108,6 +108,18 @@ class PPOConfig:
     # recomputed logits; PPO's clip absorbs this (validated on the
     # north-star recipe — see validation/mappo_rnn_3m_bf16.jsonl).
     anneal_lr: bool = False          # linear LR decay to 0 over the run
+    death_masking: bool = False     # exclude dead-agent timesteps from the
+    # actor/critic losses and the advantage-normalization statistics. An
+    # agent is dead when its avail row allows ONLY the no-op (SMAClite
+    # marks dead agents exactly that way, envs/smaclite.py) — the
+    # standard MAPPO hard-map lever (Yu et al. 2022 §5.2); the reference
+    # has no equivalent (PARITY.md §4b deviation, off by default).
+    normalize_values: bool = False  # running-stat value normalization:
+    # the critic trains on standardized targets while GAE/bootstrap use
+    # the de-normalized outputs (MAPPO-paper value norm). Keeps the
+    # critic's regression target O(1) as returns grow on hard maps.
+    # Mutually exclusive with normalize_return (which standardizes
+    # per-batch instead of with running stats).
     clip_gradients: float = -1.0
     log_interval: int = 8           # rollouts per host log
     eval_steps: int = 50_000        # env transitions between evals
@@ -141,7 +153,50 @@ class PPORunnerState:
     stats: EpisodeStats
     step: chex.Array      # () int32 — env transitions so far
     num_updates: chex.Array
+    vnorm: Any            # value-normalizer running stats (mean/var/count
+                          # scalars; inert unless cfg.normalize_values)
     key: chex.PRNGKey
+
+
+def alive_mask(avail):
+    """1.0 where the agent is alive: any action besides the no-op is
+    available, or the no-op itself is unavailable. Dead SMAClite agents
+    expose exactly {no-op}; envs without a death mechanic keep ≥2
+    actions available and mask nothing."""
+    a = avail.astype(jnp.float32)
+    return jnp.where((a.sum(-1) > 1.0) | (a[..., 0] == 0.0), 1.0, 0.0)
+
+
+def wmean(x, w):
+    """Weighted mean over all elements; ``w=None`` → plain mean."""
+    if w is None:
+        return x.mean()
+    return (x * w).sum() / jnp.maximum(w.sum(), 1.0)
+
+
+def wstandardize(x, w):
+    """(x − μ)/σ with optionally-weighted statistics."""
+    m = wmean(x, w)
+    var = wmean(jnp.square(x - m), w)
+    return (x - m) / (jnp.sqrt(var) + 1e-8)
+
+
+def vnorm_init():
+    return dict(mean=jnp.zeros(()), var=jnp.ones(()),
+                count=jnp.full((), 1e-4))
+
+
+def vnorm_update(vn, batch, w=None):
+    """Welford merge of one returns batch into the running stats."""
+    bm = wmean(batch, w)
+    bv = wmean(jnp.square(batch - bm), w)
+    bc = float(batch.size) if w is None else jnp.maximum(w.sum(), 1.0)
+    tot = vn["count"] + bc
+    delta = bm - vn["mean"]
+    mean = vn["mean"] + delta * bc / tot
+    m2 = (vn["var"] * vn["count"] + bv * bc
+          + jnp.square(delta) * vn["count"] * bc / tot)
+    return dict(mean=mean, var=m2 / tot, count=tot)
 
 
 def masked_logits(actor_params, obs, avail):
@@ -180,6 +235,11 @@ def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
         raise ValueError(f"gru_impl must be xla|pallas, got {cfg.gru_impl!r}")
     if cfg.gru_impl == "pallas" and cfg.tbptt:
         raise ValueError("gru_impl='pallas' does not support tbptt>0")
+    if cfg.normalize_values and cfg.normalize_return:
+        raise ValueError(
+            "normalize_values (running-stat) and normalize_return "
+            "(per-batch) are mutually exclusive critic-target transforms"
+        )
     mm_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
     if cfg.gru_impl == "pallas" and mm_dtype is not None:
         raise ValueError(
@@ -252,6 +312,7 @@ def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
             stats=EpisodeStats.create(cfg.num_envs),
             step=jnp.zeros((), jnp.int32),
             num_updates=jnp.zeros(()),
+            vnorm=vnorm_init(),
             key=key,
         )
 
@@ -298,11 +359,19 @@ def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
 
     # ------------------------------------------------------------------
     def ppo_update(runner: PPORunnerState, traj, h0):
+        # dead-agent weights from the stored avail rows (death_masking)
+        alive = alive_mask(traj["avail"]) if cfg.death_masking else None
         # advantages with the pre-update critic (ippo.py:394-411)
         values = critic_values(runner.critic_params, traj["obs"], traj["state"])
         vboot = critic_values(
             runner.critic_params, runner.obs, runner.state
         )  # V(o_T) of the live (post-rollout) obs
+        if cfg.normalize_values:
+            # the critic regresses in normalized space; GAE and the
+            # bootstrap consume de-normalized values
+            sigma = jnp.sqrt(runner.vnorm["var"]) + 1e-8
+            values = values * sigma + runner.vnorm["mean"]
+            vboot = vboot * sigma + runner.vnorm["mean"]
         team_reward = traj["reward"]
         if cfg.normalize_reward:
             # per-batch standardization at sample time (ippo.py buffer,
@@ -318,12 +387,20 @@ def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
         returns = jax.lax.stop_gradient(returns)
         adv = jax.lax.stop_gradient(adv)
         if cfg.normalize_advantage:
-            adv = (adv - adv.mean()) / (adv.std() + 1e-8)
+            adv = wstandardize(adv, alive)
         if cfg.normalize_return:
             # advantages keep the raw returns; only the critic target is
             # standardized, agent-mean convention (mappo.py:416-419)
             ret_am = returns.mean(axis=-1)
             returns = (returns - ret_am.mean()) / (ret_am.std() + 1e-8)
+        vnorm = runner.vnorm
+        if cfg.normalize_values:
+            # fold this rollout's returns into the running stats, then
+            # regress the critic on the freshly-normalized target
+            vnorm = vnorm_update(vnorm, returns, alive)
+            returns = (returns - vnorm["mean"]) / (
+                jnp.sqrt(vnorm["var"]) + 1e-8
+            )
 
         # entropy-coef schedule: sharpens the late policy so the sampled
         # eval converges toward the greedy one (an option the reference
@@ -345,6 +422,7 @@ def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
             )
 
         def actor_loss_fn(actor_params, mb):
+            w = mb.get("alive")
             logits = logits_seq(
                 actor_params, mb["h0"], mb["obs"], mb["avail"], mb["ended"]
             )
@@ -358,25 +436,29 @@ def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
             pg2 = mb["adv"] * jnp.clip(
                 ratio, 1.0 - cfg.ppo_clip, 1.0 + cfg.ppo_clip
             )
-            pg = jnp.minimum(pg1, pg2).mean()
+            pg = wmean(jnp.minimum(pg1, pg2), w)
             p = jnp.exp(logp_all)
-            entropy = -jnp.sum(p * logp_all, axis=-1).mean()
+            entropy = wmean(-jnp.sum(p * logp_all, axis=-1), w)
             loss = -pg - ent_coef * entropy
-            kl = ((ratio - 1.0) - log_ratio).mean()
-            clipped = (jnp.abs(ratio - 1.0) > cfg.ppo_clip).astype(jnp.float32).mean()
+            kl = wmean((ratio - 1.0) - log_ratio, w)
+            clipped = wmean(
+                (jnp.abs(ratio - 1.0) > cfg.ppo_clip).astype(jnp.float32), w
+            )
             return loss, (entropy, kl, clipped)
 
         def critic_loss_fn(critic_params, mb):
             v = critic_values(
                 critic_params, mb["obs"], mb["state"], dtype=mm_dtype
             )
-            return jnp.mean(jnp.square(v - mb["returns"]))
+            return wmean(jnp.square(v - mb["returns"]), mb.get("alive"))
 
         full = {
             **{k: traj[k] for k in
                ("obs", "state", "avail", "action", "logp", "ended")},
             "adv": adv, "returns": returns,
         }
+        if cfg.death_masking:
+            full["alive"] = alive
 
         def minibatch_step(carry, mb):
             a_params, c_params, a_opt, c_opt = carry
@@ -434,10 +516,14 @@ def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
             epoch, carry0, None, length=cfg.epochs
         )
         metrics = jax.tree.map(jnp.mean, ms)
+        if cfg.normalize_values:
+            metrics["train/value_norm_mean"] = vnorm["mean"]
+            metrics["train/value_norm_std"] = jnp.sqrt(vnorm["var"])
         runner = runner.replace(
             actor_params=a_params, critic_params=c_params,
             actor_opt=a_opt, critic_opt=c_opt,
             num_updates=runner.num_updates + cfg.epochs * n_mb,
+            vnorm=vnorm,
         )
         return runner, metrics
 

@@ -81,6 +81,10 @@ CASES = [
     ("ippo", dict(normalize_reward=True, normalize_advantage=True,
                   normalize_return=True)),
     ("ippo", dict(recurrent=True, rollout_len=6)),
+    ("mappo", dict(recurrent=True, death_masking=True,
+                   normalize_values=True)),
+    ("ippo", dict(death_masking=True, normalize_values=True,
+                  num_minibatches=2)),
     # --- COMA family (coma.py Args) ---
     ("coma", dict(recurrent=True)),
     ("coma", dict(use_tdlambda=False, nsteps=3)),
@@ -163,7 +167,8 @@ def test_matrix_covers_every_advertised_flag():
         "ippo": ["recurrent", "tbptt", "gru_impl", "compute_dtype",
                  "remat_actor", "num_minibatches", "anneal_lr",
                  "anneal_entropy", "normalize_reward",
-                 "normalize_advantage", "normalize_return", "rollout_len"],
+                 "normalize_advantage", "normalize_return", "rollout_len",
+                 "death_masking", "normalize_values"],
         "coma": ["recurrent", "use_tdlambda", "nsteps",
                  "bootstrap_truncation", "normalize_reward",
                  "normalize_return", "anneal_lr"],

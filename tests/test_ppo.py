@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cleanmarl_tpu.algos.ippo import make_train as make_ippo
 from cleanmarl_tpu.algos.mappo import make_train as make_mappo
@@ -163,3 +164,64 @@ def test_phase_timer_reports_rollout_and_update():
     assert phases["perf/rollout_s"] > 0
     assert phases["perf/update_s"] > 0
     assert 0.0 < phases["perf/rollout_frac"] < 1.0
+
+
+def test_alive_mask_semantics():
+    from cleanmarl_tpu.algos.ppo_common import alive_mask
+    avail = jnp.array([
+        [True, False, False],   # no-op only → dead
+        [False, True, False],   # single non-noop → alive
+        [True, True, False],    # no-op + move → alive
+        [True, True, True],     # everything → alive
+    ])
+    np.testing.assert_allclose(
+        np.asarray(alive_mask(avail)), [0.0, 1.0, 1.0, 1.0]
+    )
+
+
+def test_death_masking_noop_when_all_alive():
+    """MatrixGame keeps ≥2 actions available, so death_masking must not
+    change the update (weighted means with all-ones weights)."""
+    env = MatrixGame(n_agents=2, n_actions=3, episode_limit=8)
+    outs = {}
+    for dm in (False, True):
+        cfg = ppo_cfg(total_timesteps=2048, death_masking=dm,
+                      normalize_advantage=True)
+        init, train_block, eval_fn, meta = make_ippo(cfg, env)
+        runner = init(jax.random.PRNGKey(0))
+        runner, _ = train_block(runner)
+        outs[dm] = runner.actor_params
+    for a, b in zip(jax.tree.leaves(outs[False]), jax.tree.leaves(outs[True])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_vnorm_update_matches_two_pass_stats():
+    from cleanmarl_tpu.algos.ppo_common import vnorm_init, vnorm_update
+    rng = np.random.RandomState(0)
+    chunks = [rng.randn(50) * 3 + 7, rng.randn(80) - 2, rng.randn(30) * 0.5]
+    vn = vnorm_init()
+    for c in chunks:
+        vn = vnorm_update(vn, jnp.asarray(c))
+    cat = np.concatenate(chunks)
+    np.testing.assert_allclose(float(vn["mean"]), cat.mean(), rtol=1e-5)
+    np.testing.assert_allclose(float(vn["var"]), cat.var(), rtol=1e-4)
+
+
+def test_normalize_values_learns_and_tracks_returns():
+    env = MatrixGame(n_agents=2, n_actions=3, episode_limit=8)
+    cfg = ppo_cfg(normalize_values=True)
+    runner, eval_fn, metrics = run_to_convergence(make_mappo, cfg, env)
+    out = eval_fn(runner.actor_params, jax.random.PRNGKey(1))
+    assert float(out["eval/ep_reward"]) > 6.8, dict(out)
+    # the normalizer's running mean must have moved toward the true
+    # positive return scale (optimum 8/episode, γ-discounted)
+    assert float(metrics["train/value_norm_mean"]) > 1.0
+    assert float(runner.vnorm["count"]) > 1e4
+
+
+def test_normalize_values_excludes_normalize_return():
+    env = MatrixGame(n_agents=2, n_actions=3, episode_limit=8)
+    cfg = ppo_cfg(normalize_values=True, normalize_return=True)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        make_ippo(cfg, env)
