@@ -75,6 +75,12 @@ class COMAConfig:
     nsteps: int = 1                   # n-step horizon when use_tdlambda=False
     # (coma.py:497-528; nsteps=1 is the λ=0 point of the TD(λ) recursion)
     entropy_coef: float = 0.001
+    anneal_entropy: bool = False      # linear entropy-coef decay to 0 over
+    # the run (matches the PPO family's knob; not in the reference)
+    critic_epochs: int = 1            # critic gradient steps per rollout
+    # before the actor update — re-fits the TD(λ) critic to the fresh
+    # targets; a COMA-LBF stabilizer probe (reference fits once,
+    # coma.py:469-496)
     anneal_lr: bool = False           # linear LR decay to 0 over the run
     # (an option the reference lacks; COMA's late-training policy decay
     # on LBF freezes out under it — validation/coma_lbf.jsonl)
@@ -129,10 +135,8 @@ def make_train(cfg: COMAConfig, env=None):
                             env_family=cfg.env_family)
     vec = as_vec(env, cfg.num_envs)
     rollout_len = cfg.rollout_len or env.episode_limit
-    n_updates = (
-        max(cfg.total_timesteps // (rollout_len * cfg.num_envs), 1)
-        if cfg.anneal_lr else 0
-    )
+    total_updates = max(cfg.total_timesteps // (rollout_len * cfg.num_envs), 1)
+    n_updates = total_updates if cfg.anneal_lr else 0
     actor_opt = make_optimizer(
         cfg.optimizer, cfg.learning_rate_actor, cfg.clip_gradients, n_updates
     )
@@ -346,16 +350,30 @@ def make_train(cfg: COMAConfig, env=None):
             q_taken = jnp.take_along_axis(q, traj["action"][..., None], axis=-1)[..., 0]
             return jnp.mean(jnp.square(q_taken - returns))
 
-        c_loss, c_grads = jax.value_and_grad(critic_loss_fn)(runner.critic_params)
-        c_gnorm = nets.global_norm(c_grads)
-        c_updates, c_opt = critic_opt.update(
-            c_grads, runner.critic_opt, runner.critic_params
+        def critic_step(carry, _):
+            p, opt, _, _ = carry
+            loss, grads = jax.value_and_grad(critic_loss_fn)(p)
+            gnorm = nets.global_norm(grads)
+            updates, opt = critic_opt.update(grads, opt, p)
+            p = optax.apply_updates(p, updates)
+            return (p, opt, loss, gnorm), None
+
+        (critic_params, c_opt, c_loss, c_gnorm), _ = jax.lax.scan(
+            critic_step,
+            (runner.critic_params, runner.critic_opt,
+             jnp.zeros(()), jnp.zeros(())),
+            None, length=max(1, cfg.critic_epochs),
         )
-        critic_params = optax.apply_updates(runner.critic_params, c_updates)
 
         # ---- counterfactual actor update ------------------------------
         q_new = critic_q(critic_params, traj["state"], traj["obs"], traj["action"])
         q_new = jax.lax.stop_gradient(q_new)
+
+        ent_coef = cfg.entropy_coef
+        if cfg.anneal_entropy:
+            ent_coef = cfg.entropy_coef * jnp.clip(
+                1.0 - runner.num_updates / total_updates, 0.0, 1.0
+            )
 
         def actor_loss_fn(p):
             pi = actor_probs_seq(
@@ -371,7 +389,7 @@ def make_train(cfg: COMAConfig, env=None):
             entropy = -jnp.sum(pi * log_pi, axis=-1) / A  # ref's mean-over-A
             pg = jnp.mean(logp_taken * adv)
             ent = jnp.mean(entropy)
-            return -pg - cfg.entropy_coef * ent, ent
+            return -pg - ent_coef * ent, ent
 
         (a_loss, entropy), a_grads = jax.value_and_grad(
             actor_loss_fn, has_aux=True

@@ -45,6 +45,8 @@ def main():
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--compute_dtype", default="float32")
     ap.add_argument("--num_minibatches", type=int, default=1)
+    ap.add_argument("--death_masking", type=int, default=0)
+    ap.add_argument("--normalize_values", type=int, default=0)
     ap.add_argument("--stop_at", type=float, default=2.0)  # >1 → never stop early
     args = ap.parse_args()
 
@@ -61,6 +63,8 @@ def main():
         tbptt=args.tbptt,
         compute_dtype=args.compute_dtype,
         num_minibatches=args.num_minibatches,
+        death_masking=bool(args.death_masking),
+        normalize_values=bool(args.normalize_values),
         total_timesteps=args.total_timesteps, log_interval=4,
         num_eval_ep=args.num_eval_ep, seed=args.seed, verbose=False,
     )

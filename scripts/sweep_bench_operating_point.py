@@ -49,6 +49,12 @@ def measure(overrides, n_timed=3):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="validation/bench_sweep_r3.jsonl")
+    ap.add_argument("--candidates", default="",
+                    help="JSON list of override dicts; default = r3 grid")
+    args = ap.parse_args()
     candidates = [
         {"num_envs": 8192, "rollout_len": 60, "num_minibatches": 8},
         {"num_envs": 8192, "rollout_len": 60, "num_minibatches": 4},
@@ -60,7 +66,9 @@ def main():
         {"num_envs": 8192, "rollout_len": 60, "num_minibatches": 1,
          "remat_actor": True},
     ]
-    out = open("validation/bench_sweep_r3.jsonl", "a")
+    if args.candidates:
+        candidates = json.loads(args.candidates)
+    out = open(args.out, "a")
     for ov in candidates:
         try:
             rec = measure(ov)

@@ -64,6 +64,21 @@ GRID3 = [
      "learning_rate_critic": 5e-4},
 ]
 
+# round 4 (VERDICT r3 next-5): the adopted recipe (critic 128 + lrc
+# 3e-4) tails at 0.44. One pass each over the remaining hypotheses:
+# λ of the TD(λ) critic target, critic mini-epochs per rollout
+# (new critic_epochs knob), and entropy annealing (new anneal_entropy).
+_ADOPTED = {"critic_hidden_dim": 128, "learning_rate_critic": 3e-4}
+GRID4 = [
+    {**_ADOPTED, "td_lambda": 0.5},
+    {**_ADOPTED, "td_lambda": 0.95},
+    {**_ADOPTED, "critic_epochs": 2},
+    {**_ADOPTED, "critic_epochs": 4},
+    {**_ADOPTED, "entropy_coef": 0.01, "anneal_entropy": True},
+    {**_ADOPTED, "critic_epochs": 4,
+     "entropy_coef": 0.01, "anneal_entropy": True},
+]
+
 
 def run_one(overrides: dict) -> dict:
     import jax
@@ -101,6 +116,8 @@ def main():
         grid = GRID2
     elif "--round3" in sys.argv:
         grid = GRID3
+    elif "--round4" in sys.argv:
+        grid = GRID4
     out = open(os.path.join(REPO, "validation", "sweep_coma_lbf.jsonl"), "a")
     env = dict(os.environ)
     env["PYTHONPATH"] = f"{REPO}:/root/.axon_site"

@@ -91,6 +91,7 @@ CASES = [
     ("coma", dict(bootstrap_truncation=True)),
     ("coma", dict(normalize_reward=True, normalize_return=True,
                   anneal_lr=True)),
+    ("coma", dict(critic_epochs=3, anneal_entropy=True)),
     # --- VDN family (vdn.py Args) ---
     ("vdn", dict(bootstrap_truncation=True)),
     ("vdn", dict(normalize_reward=True)),
@@ -171,7 +172,8 @@ def test_matrix_covers_every_advertised_flag():
                  "death_masking", "normalize_values"],
         "coma": ["recurrent", "use_tdlambda", "nsteps",
                  "bootstrap_truncation", "normalize_reward",
-                 "normalize_return", "anneal_lr"],
+                 "normalize_return", "anneal_lr", "critic_epochs",
+                 "anneal_entropy"],
         "vdn": ["bootstrap_truncation", "normalize_reward"],
         "qmix": ["memefficient", "double_q", "hard_target",
                  "max_updates_per_iter", "bootstrap_truncation",
