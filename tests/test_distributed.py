@@ -188,3 +188,123 @@ def test_global_runner_init_lands_in_shardings():
     )
     out, metrics = train_block(runner)
     assert np.isfinite(float(metrics["train/actor_loss"]))
+
+
+def test_recurrent_q_sharded_matches_unsharded():
+    """VERDICT r3 next-4: the riskiest untested sharded combination —
+    the recurrent-Q runner carries a per-env GRU hidden state (``h``),
+    the per-env episode accumulator AND the capacity-sharded episode
+    ring in one block. Sharded must reproduce unsharded numerics."""
+    from cleanmarl_tpu.algos.recurrent_q import (
+        RecurrentQConfig, make_train as make_recq,
+    )
+
+    env = MatrixGame(n_agents=2, n_actions=3, episode_limit=8)
+    # ring rows = buffer_size+1 (scratch) must divide the 8-device mesh
+    cfg = RecurrentQConfig(env_type="matrix", mixing="qmix", num_envs=16,
+                           buffer_size=63, batch_size=8, hidden_dim=16,
+                           hyper_dim=8, embed_dim=4,
+                           total_timesteps=16 * 40, log_interval=40, seed=0)
+    init, train_block, eval_fn = make_recq(cfg, env)
+    runner = init(jax.random.PRNGKey(0))
+    mesh = make_mesh()
+    sharded = shard_runner(init(jax.random.PRNGKey(0)), mesh,
+                           DATA_FIELD_DIMS["RECURRENT_Q"])
+    assert sharded.h.sharding.spec == jax.sharding.PartitionSpec("data")
+    ring_sh = jax.tree.leaves(sharded.ring.data)[0].sharding
+    assert ring_sh.spec == jax.sharding.PartitionSpec("data")
+
+    out, metrics = train_block(sharded)
+    ref, ref_metrics = train_block(runner)
+    assert int(out.episodes) == int(ref.episodes)
+    assert float(out.num_updates) == float(ref.num_updates)
+    np.testing.assert_allclose(
+        float(metrics["train/loss"]), float(ref_metrics["train/loss"]),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.h), np.asarray(ref.h), atol=2e-5
+    )
+    for a, b in zip(jax.tree.leaves(out.params),
+                    jax.tree.leaves(ref.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_maddpg_sharded_matches_unsharded():
+    """Actor-critic off-policy with GRU actor + episode ring sharded."""
+    from cleanmarl_tpu.algos.maddpg import MADDPGConfig, make_train as make_m
+
+    env = MatrixGame(n_agents=2, n_actions=3, episode_limit=8)
+    cfg = MADDPGConfig(env_type="matrix", num_envs=16, buffer_size=63,
+                       batch_size=8, recurrent=True, actor_hidden_dim=16,
+                       critic_hidden_dim=32,
+                       total_timesteps=16 * 40, log_interval=40, seed=0)
+    init, train_block, eval_fn = make_m(cfg, env)
+    runner = init(jax.random.PRNGKey(0))
+    mesh = make_mesh()
+    sharded = shard_runner(init(jax.random.PRNGKey(0)), mesh,
+                           DATA_FIELD_DIMS["MADDPG"])
+    assert sharded.actor_h.sharding.spec == jax.sharding.PartitionSpec("data")
+
+    out, metrics = train_block(sharded)
+    ref, ref_metrics = train_block(runner)
+    assert int(out.episodes) == int(ref.episodes)
+    assert float(out.num_updates) == float(ref.num_updates)
+    np.testing.assert_allclose(
+        float(metrics["train/critic_loss"]),
+        float(ref_metrics["train/critic_loss"]), rtol=1e-4, atol=1e-5,
+    )
+    for a, b in zip(jax.tree.leaves(out.actor_params),
+                    jax.tree.leaves(ref.actor_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_facmac_sharded_matches_unsharded():
+    from cleanmarl_tpu.algos.facmac import FACMACConfig, make_train as make_f
+
+    env = MatrixGame(n_agents=2, n_actions=3, episode_limit=8,
+                     mask_trick=False)
+    cfg = FACMACConfig(env_type="matrix", num_envs=16, buffer_size=63,
+                       batch_size=8, actor_hidden_dim=16,
+                       critic_hidden_dim=32, hyper_dim=8, embed_dim=4,
+                       total_timesteps=16 * 40, log_interval=40, seed=0)
+    init, train_block, eval_fn = make_f(cfg, env)
+    runner = init(jax.random.PRNGKey(0))
+    mesh = make_mesh()
+    sharded = shard_runner(init(jax.random.PRNGKey(0)), mesh,
+                           DATA_FIELD_DIMS["FACMAC"])
+    out, metrics = train_block(sharded)
+    ref, ref_metrics = train_block(runner)
+    assert int(out.episodes) == int(ref.episodes)
+    assert float(out.num_updates) == float(ref.num_updates)
+    np.testing.assert_allclose(
+        float(metrics["train/critic_loss"]),
+        float(ref_metrics["train/critic_loss"]), rtol=1e-4, atol=1e-5,
+    )
+    for a, b in zip(jax.tree.leaves(out.actor_params),
+                    jax.tree.leaves(ref.actor_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_coma_sharded_matches_unsharded():
+    """Completes sharded-equality coverage: all 7 families."""
+    from cleanmarl_tpu.algos.coma import COMAConfig, make_train as make_c
+
+    env = MatrixGame(n_agents=2, n_actions=3, episode_limit=8)
+    cfg = COMAConfig(env_type="matrix", num_envs=16, recurrent=True,
+                     actor_hidden_dim=16, critic_hidden_dim=32,
+                     total_timesteps=4096, log_interval=2, seed=0)
+    init, train_block, eval_fn, meta = make_c(cfg, env)
+    runner = init(jax.random.PRNGKey(0))
+    mesh = make_mesh()
+    sharded = shard_runner(init(jax.random.PRNGKey(0)), mesh,
+                           DATA_FIELD_DIMS["COMA"])
+    out, metrics = train_block(sharded)
+    ref, ref_metrics = train_block(runner)
+    np.testing.assert_allclose(
+        float(metrics["train/critic_loss"]),
+        float(ref_metrics["train/critic_loss"]), rtol=1e-4, atol=1e-5,
+    )
+    for a, b in zip(jax.tree.leaves(out.actor_params),
+                    jax.tree.leaves(ref.actor_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
