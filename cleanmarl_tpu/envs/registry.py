@@ -40,6 +40,13 @@ def make(env_type: str, env_name: str, agent_ids: bool = False,
         from cleanmarl_tpu.envs import smaclite
 
         env = smaclite.make(env_name, **kwargs)
+    elif env_type == "pursuit":
+        # pure-JAX SISL pursuit (TPU fast path); env_type="pz" with
+        # env_family="sisl" keeps the exact-upstream host io_callback
+        # route. env_name is accepted for CLI symmetry ("pursuit_v4").
+        from cleanmarl_tpu.envs.pursuit import Pursuit
+
+        env = Pursuit(**kwargs)
     elif env_type == "lbf":
         from cleanmarl_tpu.envs import lbf
 
