@@ -204,6 +204,20 @@ CONFIGS = {
         ),
         threshold=-30.0,  # FF maddpg_sl converges ~-18; margin for GRU
     ),
+    # pure-JAX SISL pursuit (round 4; reference's suggested PZ scenario,
+    # vdn.py:21). Random policy ≈ -46 team return (urgency -0.1/cycle
+    # over 500 cycles minus occasional tags/catches); learning shortens
+    # episodes by catching evaders and raises tag/catch income.
+    "vdn_pursuit": dict(
+        algo="vdn",
+        kwargs=dict(
+            env_type="pursuit", num_envs=32, total_timesteps=2_000_000,
+            buffer_size=100_000, batch_size=4, learning_starts=10_000,
+            train_freq=1, exploration_fraction=0.1, hidden_dim=64,
+            log_interval=200,
+        ),
+        threshold=-35.0,  # provisional; pinned from the r4 TPU run below
+    ),
     "coma_lbf": dict(
         algo="coma",
         kwargs=dict(
