@@ -34,13 +34,14 @@ Sweep notes (steady-state, one v5e chip):
   env batch and minibatching (compute-bound): 4096 envs → 534k, 8192 →
   579k (mb=8) / 565k (full-batch), 16384 → 578k (mb=16); rollout 150 →
   563k; remat_actor → 514k. Full grid: validation/bench_sweep_r3.jsonl.
-  Orthogonal levers measured and flat at this operating point:
-  compute_dtype=bfloat16 → 578k (XLA already runs bf16 MXU passes for
-  f32 matmuls); gru_impl=pallas (fused GRU sequence kernel) → 554k (the
-  per-step scan fusions the profile flagged are only part of the
-  update; the kernel wins them but pays an h_prev materialization in
-  its backward). Both paths stay available — they matter at wider
-  hidden sizes — but the default remains xla/f32.
+  Orthogonal levers re-measured at round-4 HEAD, committed rows in
+  validation/bench_sweep_r4.jsonl: baseline 578k;
+  compute_dtype=bfloat16 → 578k, flat (XLA already runs bf16 MXU
+  passes for f32 matmuls); gru_impl=pallas (fused GRU sequence
+  kernel) → 551k with the r3 backward, re-measured in the same file
+  after the r4 backward removed its h_prev materialization. Both
+  paths stay available — they matter at wider hidden sizes — but the
+  default remains xla/f32.
   Operating point: 8192 envs, rollout 60, minibatches 8 (1.9G HBM).
   Throughput-oriented configs run much faster per step (hidden 64 /
   3 epochs: 2.31M sps, BENCH_r01; ff simple_spread: 5.2M sps) — the

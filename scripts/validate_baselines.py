@@ -102,10 +102,20 @@ CONFIGS = {
     # on that plateau: a wider (128) critic with faster critic lr (3e-4)
     # lifts the tail to 0.44 — adopted below; target-polyak rate, n-step
     # vs TD(λ) targets, return normalization, deeper/wider-still critics
-    # and longer budgets are all flat or worse. NEGATIVE RESULT vs the
-    # 0.5 stretch bar (VERDICT r2 next-10): the remaining gap to IPPO's
-    # 0.83 is the algorithm (counterfactual-advantage variance on sparse
-    # cooperative loading), not a tuning artifact.
+    # and longer budgets are all flat or worse.
+    # Round-4 hypothesis grid (GRID4, same jsonl) closed the remaining
+    # levers: td_lambda 0.5/0.95 → tails 0.431/0.443 (λ-insensitive);
+    # entropy 0.01 annealed → 0.442; extra critic epochs per rollout
+    # HURT (2 epochs → 0.356, 4 → 0.346 — the critic overfits each
+    # rollout's targets and the counterfactual baseline loses its
+    # variance-reduction bite). FINAL NEGATIVE RESULT vs the 0.5 tail
+    # bar: every tested knob saturates at ~0.44 (bests touch 0.53-0.58
+    # transiently), so the gap to IPPO's 0.83 is the algorithm —
+    # the per-agent counterfactual advantage Q(s,(a_i,a_-i)) − Σ_a' π
+    # Q(s,(a',a_-i)) has high variance exactly on LBF's sparse
+    # simultaneous-loading events, and the policy decays once entropy
+    # support narrows. The reference itself labels coma_lbf
+    # experimental (coma_lbf.py:1-5).
     # recurrent value decomposition on SMAC (reference flagship family
     # qmix_lstm.py @ 3m, defaults hidden 64 / lr 5e-4 / batch 32 episodes /
     # train_freq 1 episode / polyak 0.005 / eps 1→0.025 over 5%;
