@@ -121,11 +121,13 @@ def _fwd(wh, bh, h0, gi, keep):
 # ---------------------------------------------------------------------------
 
 def _make_bwd_kernel():
-    def kernel(wh_ref, bh_ref, hprev_ref, gi_ref, keep_ref, ghseq_ref,
-               ghfin_ref, dgi_ref, dwh_ref, dbh_ref, dh0_ref, dh_scr):
+    def kernel(wh_ref, bh_ref, h0_ref, hseq_prev_ref, gi_ref, keep_ref,
+               keep_prev_ref, ghseq_ref, ghfin_ref,
+               dgi_ref, dwh_ref, dbh_ref, dh0_ref, dh_scr):
         t = pl.program_id(1)
-        H = hprev_ref.shape[-1]
+        H = h0_ref.shape[-1]
         first = t == 0
+        last = t == pl.num_programs(1) - 1
         m_first = pl.program_id(0) == 0
 
         @pl.when(first)
@@ -137,7 +139,13 @@ def _make_bwd_kernel():
             dwh_ref[:] = jnp.zeros_like(dwh_ref)
             dbh_ref[:] = jnp.zeros_like(dbh_ref)
 
-        h_prev = hprev_ref[0]
+        # h entering this step: keep[s-1]·h_seq[s-1] for s>0 (h_seq is
+        # the saved PRE-mask forward output, streamed here at the
+        # shifted index — no (T, M, H) h_prev materialization on the
+        # host side), h0 on the last reverse iteration (s == 0)
+        h_prev = jnp.where(
+            last, h0_ref[:], keep_prev_ref[0] * hseq_prev_ref[0]
+        )
         gi_t = gi_ref[0]
         wh = wh_ref[:]
         gh = jnp.dot(h_prev, wh,
@@ -170,12 +178,15 @@ def _make_bwd_kernel():
     return kernel
 
 
-def _bwd_call(wh, bh, h_prev_seq, gi, keep, g_hseq, g_hfinal):
+def _bwd_call(wh, bh, h0, h_seq, gi, keep, g_hseq, g_hfinal):
     T, M, threeH = gi.shape
     H = threeH // 3
     TM = _tm(M)
     n_m = M // TM
     rev = lambda m, t: (T - 1 - t, m, 0)        # noqa: E731
+    # step s-1 of the saved sequences; clamped to 0 on the last reverse
+    # iteration, where the kernel reads h0 instead
+    rev_prev = lambda m, t: (jnp.maximum(T - 2 - t, 0), m, 0)  # noqa: E731
     kernel = pl.pallas_call(
         _make_bwd_kernel(),
         grid=(n_m, T),
@@ -184,9 +195,12 @@ def _bwd_call(wh, bh, h_prev_seq, gi, keep, g_hseq, g_hfinal):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, threeH), lambda m, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TM, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, H), lambda m, t: (m, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TM, H), rev_prev, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TM, threeH), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TM, 1), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TM, 1), rev_prev, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TM, H), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((TM, H), lambda m, t: (m, 0),
                          memory_space=pltpu.VMEM),
@@ -209,8 +223,8 @@ def _bwd_call(wh, bh, h_prev_seq, gi, keep, g_hseq, g_hfinal):
         scratch_shapes=[pltpu.VMEM((TM, H), jnp.float32)],
         interpret=jax.default_backend() != "tpu",
     )
-    return kernel(wh, bh.reshape(1, threeH), h_prev_seq, gi, keep,
-                  g_hseq, g_hfinal)
+    return kernel(wh, bh.reshape(1, threeH), h0, h_seq, gi, keep,
+                  keep, g_hseq, g_hfinal)
 
 
 # ---------------------------------------------------------------------------
@@ -235,12 +249,11 @@ def _gru_seq_bwd(res, cts):
     g_hfinal, g_hseq = cts
     g_hfinal = jnp.zeros_like(h0) if g_hfinal is None else g_hfinal
     g_hseq = jnp.zeros_like(h_seq) if g_hseq is None else g_hseq
-    # h_prev at step t = keep[t-1]·h_seq[t-1]; h0 at t=0
-    h_prev_seq = jnp.concatenate(
-        [h0[None], keep[:-1] * h_seq[:-1]], axis=0
-    )
+    # h_prev at step t = keep[t-1]·h_seq[t-1] (h0 at t=0) is formed
+    # INSIDE the kernel from the saved h_seq at a shifted block index —
+    # no (T, M, H) h_prev materialization pass
     dgi, dwh, dbh, dh0 = _bwd_call(
-        wh, bh, h_prev_seq, gi, keep, g_hseq, g_hfinal
+        wh, bh, h0, h_seq, gi, keep, g_hseq, g_hfinal
     )
     return dwh, dbh.reshape(bh.shape), dh0, dgi, jnp.zeros_like(keep)
 
