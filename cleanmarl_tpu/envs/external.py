@@ -18,6 +18,13 @@ pickle/Pipe overhead); pure-JAX ports remain the fast path.
 RNG: host envs are seeded from numpy on construction/auto-reset; the
 device-side key argument is ignored (documented deviation — host
 randomness cannot be folded into the JAX key system).
+
+Info plumbing (round 4): a host env may return a 5th element from
+``step`` — an info dict whose ``battle_won`` (float) and
+``agent_rewards`` ((n_agents,) array, gated on the family's static
+``provides_agent_rewards``) flow into the TimeStep info for both the
+live and the pre-reset ``final`` views; 4-tuple envs keep the legacy
+zero defaults.
 """
 from __future__ import annotations
 

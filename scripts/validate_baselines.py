@@ -226,7 +226,8 @@ CONFIGS = {
             train_freq=1, exploration_fraction=0.1, hidden_dim=64,
             log_interval=200,
         ),
-        threshold=-35.0,  # provisional; pinned from the r4 TPU run below
+        threshold=-5.0,  # validated r4: tail_mean +3.52 team return
+        # (best 11.1) vs random ≈ -46; margin for seed variance
     ),
     "coma_lbf": dict(
         algo="coma",
