@@ -131,3 +131,48 @@ def test_two_process_checkpoint_save_and_resume(tmp_path):
     assert "resumed" not in outs2[1]       # only process 0 prints
     steps = [int(m) for m in re.findall(r"step=(\d+)", outs2[0])]
     assert steps[0] > 2048 and steps[-1] == 4096, steps
+
+
+@pytest.mark.slow
+def test_two_process_qmix_episode_ring_cluster():
+    """Off-policy episode-ring family across a REAL 2-process cluster:
+    the accumulator→ring commit scatters completed episodes at global
+    dest indices while the ring's capacity axis spans both processes —
+    the riskiest multi-host structure (round 4; the r3 cluster tests
+    covered only the on-policy MAPPO path)."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    cli = [
+        "-m", "cleanmarl_tpu.algos.qmix",
+        "--env_type", "matrix", "--num_envs", "16",
+        "--buffer_size", "63",          # 64 ring rows divide the 8-mesh
+        "--batch_size", "8", "--total_timesteps", "2560",
+        "--log_interval", "40", "--eval_steps", "1000000",
+        "--seed", "0", "--verbose", "true",
+    ]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, *cli,
+             "--coordinator_address", f"localhost:{port}",
+             "--num_processes", "2", "--process_id", str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=_env(4), cwd=REPO,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+    assert "[QMIX]" in outs[0] and "[QMIX]" not in outs[1]
+
+    # single-process 8-device mesh reference: identical global semantics
+    ref = subprocess.run(
+        [sys.executable, *cli, "--use_mesh", "true"],
+        capture_output=True, text=True, env=_env(8), cwd=REPO, timeout=600,
+    )
+    assert ref.returncode == 0, ref.stdout[-3000:] + ref.stderr[-2000:]
+    np.testing.assert_allclose(
+        _last_ep_reward(outs[0]), _last_ep_reward(ref.stdout), rtol=2e-3
+    )
