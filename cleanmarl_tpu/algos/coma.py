@@ -140,8 +140,12 @@ def make_train(cfg: COMAConfig, env=None):
     actor_opt = make_optimizer(
         cfg.optimizer, cfg.learning_rate_actor, cfg.clip_gradients, n_updates
     )
+    # the LR schedule counts OPTIMIZER steps: the critic takes
+    # critic_epochs of them per rollout, so its anneal horizon scales
+    # accordingly (else the critic LR would hit 0 at 1/k of the run)
     critic_opt = make_optimizer(
-        cfg.optimizer, cfg.learning_rate_critic, cfg.clip_gradients, n_updates
+        cfg.optimizer, cfg.learning_rate_critic, cfg.clip_gradients,
+        n_updates * max(1, cfg.critic_epochs),
     )
     n, A = env.n_agents, env.n_actions
     critic_in = env.state_dim + env.obs_dim + (n - 1) * A

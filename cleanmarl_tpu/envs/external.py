@@ -132,6 +132,12 @@ class HostVecEnv:
             info = out[4] if len(out) > 4 else {}
             bw = float(info.get("battle_won", 0.0))
             ar = info.get("agent_rewards")
+            if self.family.provides_agent_rewards and ar is None:
+                raise ValueError(
+                    "host env declares provides_agent_rewards but step() "
+                    "returned no info['agent_rewards'] — the contract "
+                    "requires it on EVERY step"
+                )
             self._t[i] += 1
             if self._t[i] >= self.episode_limit and not done:
                 truncated = True

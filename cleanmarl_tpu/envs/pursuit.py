@@ -132,6 +132,18 @@ class Pursuit(Environment):
                         need[x, y] -= 1
         self.need_to_surround = jnp.asarray(need)
 
+        # conservative spawn-feasibility guard: each placement blocks at
+        # most 5 cells of its group's free mask; exhaustion would make
+        # the masked categorical silently return an arbitrary cell
+        # (upstream's rejection sampler would loop forever instead)
+        open_cells = x_size * y_size - int(rectangle_map(x_size, y_size).sum())
+        for group, n in (("n_pursuers", n_pursuers), ("n_evaders", n_evaders)):
+            if n * 5 > open_cells:
+                raise ValueError(
+                    f"{group}={n} may exhaust the {open_cells} open cells "
+                    f"(conservative bound: 5 cells blocked per agent)"
+                )
+
         # walls channel, pre-padded for window extraction: 1 outside the
         # grid (collect_obs_by_idx fills obs[0] with 1), |map| inside
         off = self.obs_offset

@@ -123,13 +123,17 @@ def diff_one(path):
     avail_agree, infeasible, obs_mae, state_mae = [], 0, [], []
     rew_ours, rew_up, term_delta = {}, {}, []
     ep_prev = -1
+    dead_ep = None   # upstream ended this episode early: skip its rows
     for i in range(len(data["t"])):
         ep, t = int(data["ep"][i]), int(data["t"][i])
         if ep != ep_prev:
             up["reset"](seed=ep)
             ep_prev = ep
+            dead_ep = None
             rew_up[ep] = 0.0
             rew_ours[ep] = 0.0
+        if ep == dead_ep:
+            continue
         ua = up["avail"]()
         ra = data["avail_pre"][i]
         if ua.shape == ra.shape:
@@ -154,10 +158,9 @@ def diff_one(path):
             term_delta.append({"ep": ep, "t": t, "ours": ours_ended,
                                "upstream": up_ended})
         if up_ended and not ours_ended:
-            # upstream episode ended early — skip to our next episode
-            while (i + 1 < len(data["t"])
-                   and int(data["ep"][i + 1]) == ep):
-                i += 1
+            # upstream episode ended early — ignore the rest of this
+            # recorded episode (cannot step a terminated gymnasium env)
+            dead_ep = ep
     report.update({
         "avail_agreement_mean": round(float(np.mean(avail_agree)), 4)
         if avail_agree else None,

@@ -234,3 +234,8 @@ def test_vdn_trains_on_pure_jax_pursuit():
     runner, metrics = train_block(runner)
     assert np.isfinite(float(metrics["train/loss"]))
     assert int(runner.step) == 50
+
+
+def test_spawn_exhaustion_guard():
+    with pytest.raises(ValueError, match="open cells"):
+        Pursuit(n_evaders=50)

@@ -14,6 +14,7 @@ vdn_multienvs.py:229-297, which forwards the wrapped env's info dict
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cleanmarl_tpu.envs.external import HostEnvFamily
 
@@ -139,3 +140,18 @@ def test_qmix_episode_ring_trains_on_host_env():
     # just demand the counter is finite and in [0, 1]
     bw = float(metrics["rollout/battle_won"])
     assert 0.0 <= bw <= 1.0
+
+
+def test_missing_agent_rewards_contract_error():
+    class Liar(ScriptedHostEnv):
+        def step(self, actions):
+            obs, r, d, tr, info = super().step(actions)
+            return obs, r, d, tr, {"battle_won": info["battle_won"]}
+
+    fam = HostEnvFamily(Liar, seed=0)
+    vec = fam.make_vec(1)
+    token, _ = vec.reset(jax.random.PRNGKey(0))
+    with pytest.raises(Exception, match="provides_agent_rewards"):
+        jax.block_until_ready(
+            vec.step(token, jnp.zeros((1, 2), jnp.int32), None)
+        )

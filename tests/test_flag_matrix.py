@@ -92,6 +92,7 @@ CASES = [
     ("coma", dict(normalize_reward=True, normalize_return=True,
                   anneal_lr=True)),
     ("coma", dict(critic_epochs=3, anneal_entropy=True)),
+    ("coma", dict(critic_epochs=4, anneal_lr=True)),
     # --- VDN family (vdn.py Args) ---
     ("vdn", dict(bootstrap_truncation=True)),
     ("vdn", dict(normalize_reward=True)),
