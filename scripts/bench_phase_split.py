@@ -27,7 +27,9 @@ def main():
         "steps_per_rollout": meta["rollout_len"] * cfg.num_envs,
     }
     print(json.dumps(rec))
-    with open("validation/bench_phases_r3.json", "w") as f:
+    import sys
+    out = sys.argv[1] if len(sys.argv) > 1 else "validation/bench_phases_r3.json"
+    with open(out, "w") as f:
         json.dump(rec, f, indent=1)
 
 

@@ -229,6 +229,20 @@ CONFIGS = {
         threshold=-5.0,  # validated r4: tail_mean +3.52 team return
         # (best 11.1) vs random ≈ -46; margin for seed variance
     ),
+    # PPO family on the same pure-JAX pursuit (on-policy coverage of
+    # the round-4 env; truncated rollouts over the 500-cycle episodes)
+    "ippo_pursuit": dict(
+        algo="ippo",
+        kwargs=dict(
+            env_type="pursuit", num_envs=64, total_timesteps=2_000_000,
+            rollout_len=100, epochs=4, entropy_coef=0.01,
+            anneal_entropy=True, normalize_advantage=True,
+            learning_rate_actor=5e-4, learning_rate_critic=5e-4,
+            actor_hidden_dim=64, critic_hidden_dim=64, log_interval=2,
+        ),
+        threshold=5.0,  # validated r4: tail_mean +12.6 (best 14.6)
+        # vs random ≈ -46; on-policy beats VDN's +3.5 here
+    ),
     "coma_lbf": dict(
         algo="coma",
         kwargs=dict(
