@@ -37,11 +37,15 @@ Sweep notes (steady-state, one v5e chip):
   Orthogonal levers re-measured at round-4 HEAD, committed rows in
   validation/bench_sweep_r4.jsonl: baseline 578k;
   compute_dtype=bfloat16 → 578k, flat (XLA already runs bf16 MXU
-  passes for f32 matmuls); gru_impl=pallas (fused GRU sequence
-  kernel) → 551k with the r3 backward, re-measured in the same file
-  after the r4 backward removed its h_prev materialization. Both
-  paths stay available — they matter at wider hidden sizes — but the
-  default remains xla/f32.
+  passes for f32 matmuls); gru_impl=pallas → 575k at 1.38G vs 1.92G
+  HBM (the r4 backward forms h_prev in-kernel; the r3 backward
+  measured 551k). At WIDER hidden sizes the kernel wins outright
+  (validation/bench_sweep_r4_wide.jsonl): hidden 256 → pallas 362k vs
+  xla 332k (+9%) at 2.31G vs 3.38G; hidden 512 → 192k vs 190k at
+  4.01G vs 6.19G; 27m_vs_30m (27 agents, 2048 envs) → 13.2G vs 18.2G
+  HBM at ~equal speed — the kernel is the memory-headroom enabler for
+  big-agent/big-model configs. The bench default remains xla/f32 (the
+  fastest point at the validated recipe's width).
   Operating point: 8192 envs, rollout 60, minibatches 8 (1.9G HBM).
   Throughput-oriented configs run much faster per step (hidden 64 /
   3 epochs: 2.31M sps, BENCH_r01; ff simple_spread: 5.2M sps) — the

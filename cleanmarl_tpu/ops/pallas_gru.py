@@ -38,10 +38,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _tm(m: int) -> int:
-    """Batch-tile size: cap VMEM use, keep sublane alignment."""
+def _tm(m: int, three_h: int = 384) -> int:
+    """Batch-tile size: cap VMEM use, keep sublane alignment.
+
+    The kernel keeps several (TM, 3H) blocks resident (gi in, dgi out,
+    plus h/grad blocks), so the tile must SHRINK as the gate width
+    grows — a fixed 1024 overflows VMEM at hidden ≥256 (compile
+    failure, round-4 wide-hidden sweep). Budget ~2MB per (TM, 3H)
+    operand; at the bench width (3H=384) this still selects 1024."""
+    cap = max(8, (2 * 2 ** 20) // (three_h * 4))
     for cand in (1024, 512, 256, 128, 64, 32, 16, 8):
-        if m % cand == 0:
+        if cand <= cap and m % cand == 0:
             return min(cand, m)
     raise ValueError(f"M={m} must be a multiple of 8")
 
@@ -81,7 +88,7 @@ def _fwd_kernel(wh_ref, bh_ref, h0_ref, gi_ref, keep_ref,
 def _fwd(wh, bh, h0, gi, keep):
     T, M, threeH = gi.shape
     H = threeH // 3
-    TM = _tm(M)
+    TM = _tm(M, threeH)
     n_m = M // TM
     grid = (n_m, T)
     kernel = pl.pallas_call(
@@ -181,7 +188,7 @@ def _make_bwd_kernel():
 def _bwd_call(wh, bh, h0, h_seq, gi, keep, g_hseq, g_hfinal):
     T, M, threeH = gi.shape
     H = threeH // 3
-    TM = _tm(M)
+    TM = _tm(M, threeH)
     n_m = M // TM
     rev = lambda m, t: (T - 1 - t, m, 0)        # noqa: E731
     # step s-1 of the saved sequences; clamped to 0 on the last reverse

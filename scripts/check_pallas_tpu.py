@@ -19,7 +19,9 @@ from cleanmarl_tpu.core import networks as nets
 
 def main():
     assert jax.default_backend() == "tpu", jax.default_backend()
-    T, B, n, in_dim, H, A = 60, 256, 3, 33, 128, 9
+    import sys
+    H = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    T, B, n, in_dim, A = 60, 256, 3, 33, 9
     key = jax.random.PRNGKey(0)
     params = nets.rnn_init(key, in_dim, H, A)
     x = jax.random.normal(jax.random.PRNGKey(1), (T, B, n, in_dim))
