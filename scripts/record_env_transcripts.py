@@ -26,11 +26,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT_DIR = os.path.join(REPO, "validation", "transcripts")
 
 SPECS = [
-    # (name, env_type, env_name, episodes)
-    ("smaclite_3m", "smaclite", "3m", 3),
-    ("smaclite_2s3z", "smaclite", "2s3z", 3),
-    ("smaclite_MMM", "smaclite", "MMM", 2),
-    ("lbf_8x8_2p_3f", "lbf", "Foraging-8x8-2p-3f-v3", 3),
+    # (name, env_type, env_name, episodes, env_kwargs)
+    ("smaclite_3m", "smaclite", "3m", 3, {}),
+    ("smaclite_2s3z", "smaclite", "2s3z", 3, {}),
+    ("smaclite_MMM", "smaclite", "MMM", 2, {}),
+    ("lbf_8x8_2p_3f", "lbf", "Foraging-8x8-2p-3f-v3", 3, {}),
+    # compact pursuit config: dynamics pin for the round-4 env (its
+    # upstream diff is the direct cross-validation in
+    # tests/test_envs_pursuit.py; this transcript guards regressions)
+    ("pursuit_small", "pursuit", "pursuit_v4", 2,
+     {"n_pursuers": 4, "n_evaders": 6, "time_limit": 60}),
 ]
 
 
@@ -75,15 +80,19 @@ def record(env, episodes: int, seed: int = 0):
 def main():
     from cleanmarl_tpu.envs import registry
 
+    import json
+
     os.makedirs(OUT_DIR, exist_ok=True)
-    for name, env_type, env_name, episodes in SPECS:
-        env = registry.make(env_type, env_name, agent_ids=False)
+    for name, env_type, env_name, episodes, env_kwargs in SPECS:
+        env = registry.make(env_type, env_name, agent_ids=False,
+                            **env_kwargs)
         data = record(env, episodes)
         meta = dict(
             env_type=env_type, env_name=env_name, episodes=episodes,
             n_agents=env.n_agents, obs_dim=env.obs_dim,
             state_dim=env.state_dim, n_actions=env.n_actions,
             episode_limit=env.episode_limit, seed=0,
+            env_kwargs=json.dumps(env_kwargs),
         )
         path = os.path.join(OUT_DIR, f"{name}.npz")
         np.savez_compressed(path, **data,

@@ -27,8 +27,11 @@ PATHS = sorted(glob.glob(os.path.join(REPO, "validation", "transcripts",
                          ids=[os.path.basename(p) for p in PATHS])
 def test_transcript_replays_exactly(path):
     z = np.load(path)
+    import json
+    kwargs = json.loads(str(z["meta_env_kwargs"])) \
+        if "meta_env_kwargs" in z.files else {}
     env = registry.make(str(z["meta_env_type"]), str(z["meta_env_name"]),
-                        agent_ids=False)
+                        agent_ids=False, **kwargs)
     assert env.n_agents == int(z["meta_n_agents"])
     assert env.obs_dim == int(z["meta_obs_dim"])
     assert env.state_dim == int(z["meta_state_dim"])
