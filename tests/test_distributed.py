@@ -308,3 +308,36 @@ def test_coma_sharded_matches_unsharded():
     for a, b in zip(jax.tree.leaves(out.actor_params),
                     jax.tree.leaves(ref.actor_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_recurrent_q_sequence_replay_sharded_matches_unsharded():
+    """replay="sequence" swaps the episode ring for the chunk ring
+    (capacity+1 scratch-slot layout, buffers/sequence.py) under the
+    same RECURRENT_Q field table — the last replay variant without a
+    sharded-equality proof."""
+    from cleanmarl_tpu.algos.recurrent_q import (
+        RecurrentQConfig, make_train as make_recq,
+    )
+
+    env = MatrixGame(n_agents=2, n_actions=3, episode_limit=8)
+    cfg = RecurrentQConfig(env_type="matrix", mixing="vdn",
+                           replay="sequence", seq_length=6, burn_in=2,
+                           num_envs=16, buffer_size=63, batch_size=8,
+                           hidden_dim=16,
+                           total_timesteps=16 * 40, log_interval=40,
+                           seed=0)
+    init, train_block, eval_fn = make_recq(cfg, env)
+    runner = init(jax.random.PRNGKey(0))
+    mesh = make_mesh()
+    sharded = shard_runner(init(jax.random.PRNGKey(0)), mesh,
+                           DATA_FIELD_DIMS["RECURRENT_Q"])
+    out, metrics = train_block(sharded)
+    ref, ref_metrics = train_block(runner)
+    assert float(out.num_updates) == float(ref.num_updates)
+    np.testing.assert_allclose(
+        float(metrics["train/loss"]), float(ref_metrics["train/loss"]),
+        rtol=1e-4, atol=1e-5,
+    )
+    for a, b in zip(jax.tree.leaves(out.params),
+                    jax.tree.leaves(ref.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
