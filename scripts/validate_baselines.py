@@ -243,6 +243,25 @@ CONFIGS = {
         threshold=5.0,  # validated r4: tail_mean +12.6 (best 14.6)
         # vs random ≈ -46; on-policy beats VDN's +3.5 here
     ),
+    # the round-4 hard-map breakthrough as a regression guard: the
+    # MAPPO-paper recipe (clip 0.05, 10 epochs, constant schedules,
+    # death_masking + normalize_values) on 5m_vs_6m. The 100M curves
+    # pass 0.95 by ~6M steps and sit at ~0.9+ by 20M (ENVS_FIDELITY
+    # §3b grid); threshold leaves seed margin.
+    "mappo_5m6m_paper": dict(
+        algo="mappo",
+        kwargs=dict(
+            env_type="smaclite", env_name="5m_vs_6m", recurrent=True,
+            num_envs=256, rollout_len=60, total_timesteps=20_000_000,
+            actor_hidden_dim=128, critic_hidden_dim=128,
+            learning_rate_actor=5e-4, learning_rate_critic=5e-4,
+            entropy_coef=0.01, epochs=10, td_lambda=0.95, ppo_clip=0.05,
+            normalize_advantage=True, death_masking=True,
+            normalize_values=True, log_interval=4,
+        ),
+        threshold=0.6,
+        metric="eval/battle_won",
+    ),
     "coma_lbf": dict(
         algo="coma",
         kwargs=dict(
@@ -276,6 +295,13 @@ def build(algo: str, kwargs: dict):
             lambda r: r.params
     if algo == "ippo":
         from cleanmarl_tpu.algos.ippo import make_train
+        from cleanmarl_tpu.algos.ppo_common import PPOConfig
+        cfg = PPOConfig(**kwargs)
+        init, block, ev, meta = make_train(cfg)
+        return cfg, init, block, ev, meta["steps_per_block"], \
+            lambda r: r.actor_params
+    if algo == "mappo":
+        from cleanmarl_tpu.algos.mappo import make_train
         from cleanmarl_tpu.algos.ppo_common import PPOConfig
         cfg = PPOConfig(**kwargs)
         init, block, ev, meta = make_train(cfg)
