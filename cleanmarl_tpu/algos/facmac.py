@@ -202,7 +202,7 @@ def make_train(cfg: FACMACConfig, env=None):
             update_debt=jnp.zeros((), jnp.int32),
             last_actor_loss=jnp.zeros(()), last_critic_loss=jnp.zeros(()),
             last_actor_gnorm=jnp.zeros(()), last_critic_gnorm=jnp.zeros(()),
-            num_updates=jnp.zeros(()),
+            num_updates=jnp.zeros((), jnp.int32),
             key=key,
         )
 
@@ -339,7 +339,7 @@ def make_train(cfg: FACMACConfig, env=None):
             stats=stats, step=step, episodes=episodes, update_debt=debt,
             last_actor_loss=a_loss, last_critic_loss=c_loss,
             last_actor_gnorm=a_gnorm, last_critic_gnorm=c_gnorm,
-            num_updates=runner.num_updates + n_run.astype(jnp.float32),
+            num_updates=runner.num_updates + n_run,
             key=key,
         )
         return runner, epsilon

@@ -181,7 +181,7 @@ def make_train(cfg: QMIXConfig, env=None):
             update_debt=jnp.zeros((), jnp.int32),
             last_loss=jnp.zeros(()),
             last_gnorm=jnp.zeros(()),
-            num_updates=jnp.zeros(()),
+            num_updates=jnp.zeros((), jnp.int32),
             key=key,
         )
 
@@ -333,7 +333,7 @@ def make_train(cfg: QMIXConfig, env=None):
             update_debt=debt,
             last_loss=loss,
             last_gnorm=gnorm,
-            num_updates=runner.num_updates + n_run.astype(jnp.float32),
+            num_updates=runner.num_updates + n_run,
             key=key,
         )
         return runner, epsilon

@@ -238,7 +238,7 @@ def make_train(cfg: RecurrentQConfig, env=None):
             update_debt=jnp.zeros((), jnp.int32),
             last_loss=jnp.zeros(()),
             last_gnorm=jnp.zeros(()),
-            num_updates=jnp.zeros(()),
+            num_updates=jnp.zeros((), jnp.int32),
             key=key,
         )
 
@@ -419,7 +419,7 @@ def make_train(cfg: RecurrentQConfig, env=None):
             obs=ts2.obs, state=ts2.state, avail=ts2.avail, h=h2,
             stats=stats, step=step, episodes=episodes, update_debt=debt,
             last_loss=loss, last_gnorm=gnorm,
-            num_updates=runner.num_updates + n_run.astype(jnp.float32),
+            num_updates=runner.num_updates + n_run,
             key=key,
         )
         return runner, epsilon

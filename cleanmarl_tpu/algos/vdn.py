@@ -150,7 +150,7 @@ def make_train(cfg: VDNConfig, env=None):
             step=jnp.zeros((), jnp.int32),
             last_loss=jnp.zeros(()),
             last_gnorm=jnp.zeros(()),
-            num_updates=jnp.zeros(()),
+            num_updates=jnp.zeros((), jnp.int32),
             key=key,
         )
 
@@ -241,7 +241,7 @@ def make_train(cfg: VDNConfig, env=None):
             step=step,
             last_loss=loss,
             last_gnorm=gnorm,
-            num_updates=runner.num_updates + do_update.astype(jnp.float32),
+            num_updates=runner.num_updates + do_update.astype(jnp.int32),
             key=key,
         )
         return runner, epsilon

@@ -38,6 +38,13 @@ class Environment:
     last field ``t`` counts steps for the built-in TimeLimit (mirrors
     the reference's gymnasium TimeLimit(150),
     /root/reference/cleanmarl/env/smaclite_wrapper.py:14-15).
+
+    **Action-index contract**: in envs with a death mechanic, action
+    index 0 is the no-op and a dead agent's avail mask is exactly
+    {no-op} (SMAC convention). ``alive_mask`` in the PPO family
+    (``ppo_common.alive_mask``, the ``--death_masking`` lever) relies
+    on this; an env that uses index 0 for a real action must keep
+    ≥2 actions available for living agents (all in-tree envs do).
     """
 
     n_agents: int

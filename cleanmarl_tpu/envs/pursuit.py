@@ -195,6 +195,10 @@ class Pursuit(Environment):
             free, key = carry
             key, kk = jax.random.split(key)
             logits = jnp.where(free, 0.0, -jnp.inf)
+            # if ``free`` ever exhausts, categorical over all -inf logits
+            # returns an arbitrary cell SILENTLY — the 5-cells-per-agent
+            # constructor guard (below, __init__) is what keeps this
+            # unreachable; loosen that bound only with a check here
             cell = jax.random.categorical(kk, logits)
             x, y = cell // Y, cell % Y
             nb = jnp.stack([x, y])[None, :] + jnp.concatenate(
