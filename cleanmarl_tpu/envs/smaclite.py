@@ -8,7 +8,9 @@ SMAClite micro-combat rules as branchless vectorized JAX, keeping the
 SMAC interface contract the wrapper exposes:
 
 - **Actions** (n_actions = 6 + n_enemies): 0 no-op (dead agents only),
-  1 stop, 2/3/4/5 move north/south/east/west by ``MOVE_AMOUNT``,
+  1 stop, 2/3/4/5 move north/south/east/west by the unit's per-step
+  move distance (``MOVE_AMOUNT * speed/3.15`` — marine 2.0, stalker/
+  medivac ≈2.62; ENVS_FIDELITY S3),
   6+j attack enemy j. An attack order out of the unit's true weapon
   range moves the unit toward its target instead (SC2 attack-move), so
   melee units close distance automatically.
@@ -73,21 +75,33 @@ from cleanmarl_tpu.types import TimeStep
 # weapon range) — SMAC unit data mapped onto the one-attack-per-step
 # timescale used here
 UNIT_TYPES = {
-    "marine":   dict(hp=45.0,  shield=0.0,  dmg=6.0,  cd=1.0, rng=6.0),
-    "stalker":  dict(hp=80.0,  shield=80.0, dmg=13.0, cd=2.0, rng=6.0),
-    "zealot":   dict(hp=100.0, shield=50.0, dmg=16.0, cd=1.0, rng=1.5),
-    "marauder": dict(hp=125.0, shield=0.0,  dmg=12.0, cd=2.0, rng=6.0),
+    # ``speed`` is the SC2 movement speed (game units/s — the smaclite
+    # wheel's unit data); per-env-step move distance scales it onto the
+    # uniform timescale as MOVE_AMOUNT * speed / BASE_SPEED, so marine
+    # maps keep the historical 2.0/step bit-for-bit while stalkers and
+    # medivacs (4.13) outrun zealots/marauders/marines (3.15) — the
+    # kiting asymmetry SMAC's heterogeneous maps reward
+    # (ENVS_FIDELITY.md S3, closed round 5)
+    "marine":   dict(hp=45.0,  shield=0.0,  dmg=6.0,  cd=1.0, rng=6.0,
+                     speed=3.15),
+    "stalker":  dict(hp=80.0,  shield=80.0, dmg=13.0, cd=2.0, rng=6.0,
+                     speed=4.13),
+    "zealot":   dict(hp=100.0, shield=50.0, dmg=16.0, cd=1.0, rng=1.5,
+                     speed=3.15),
+    "marauder": dict(hp=125.0, shield=0.0,  dmg=12.0, cd=2.0, rng=6.0,
+                     speed=3.15),
     # heal=True: ``dmg`` is hp healed per shot on an ALLY target
     # (SC2 heal 12.6 hp/s ≈ 1.3× marine dps → 8 on this timescale)
     "medivac":  dict(hp=150.0, shield=0.0,  dmg=8.0,  cd=1.0, rng=4.0,
-                     heal=True),
+                     heal=True, speed=4.13),
 }
 TYPE_ORDER = ("marine", "stalker", "zealot", "marauder", "medivac")
 
 ORDER_RANGE = 6.0     # attack-order availability radius (SMAC shoot range)
 SIGHT_RANGE = 9.0
 PURSUE_MARGIN = 2.0   # bot target-lock leash beyond its weapon range
-MOVE_AMOUNT = 2.0
+MOVE_AMOUNT = 2.0     # per-step move distance at BASE_SPEED
+BASE_SPEED = 3.15     # marine speed — the unit the timescale is pinned to
 MAP_SIZE = 32.0
 REWARD_KILL = 10.0
 REWARD_WIN = 200.0
@@ -166,6 +180,18 @@ class MicroCombat(Environment):
         self.e_dmg = _stat(enemy_types, "dmg")
         self.e_cd = _stat(enemy_types, "cd")
         self.e_rng = _stat(enemy_types, "rng")
+        # per-unit per-step move distance (S3: per-type speeds). The
+        # ratio is formed in python float64 FIRST so BASE_SPEED units
+        # come out exactly MOVE_AMOUNT (2.0) — marine-map dynamics and
+        # transcripts stay bit-for-bit identical to the uniform era.
+        def _move(types):
+            return jnp.array(
+                [UNIT_TYPES[t]["speed"] / BASE_SPEED * MOVE_AMOUNT
+                 for t in types], jnp.float32,
+            )
+
+        self.a_move = _move(ally_types)
+        self.e_move = _move(enemy_types)
         self.a_heal = jnp.array(
             [UNIT_TYPES[t].get("heal", False) for t in ally_types], jnp.bool_
         )
@@ -240,7 +266,10 @@ class MicroCombat(Environment):
         enemy_alive = s.enemy_hp > 0.0
         noop = jnp.logical_not(alive)[:, None]                       # (A,1)
         stop = alive[:, None]
-        cand = s.ally_pos[:, None, :] + MOVE_DIRS[None] * MOVE_AMOUNT  # (A,4,2)
+        cand = (
+            s.ally_pos[:, None, :]
+            + MOVE_DIRS[None] * self.a_move[:, None, None]
+        )                                                            # (A,4,2)
         in_bounds = jnp.all((cand >= 0.5) & (cand <= MAP_SIZE - 0.5), axis=-1)
         moves = in_bounds & alive[:, None]
         dist = jnp.linalg.norm(
@@ -414,7 +443,7 @@ class MicroCombat(Environment):
         # ---- ally movement (explicit moves + attack-move) --------------
         is_move = (actions >= 2) & (actions < N_FIXED_ACTIONS)
         dir_idx = jnp.clip(actions - 2, 0, 3)
-        step_vec = MOVE_DIRS[dir_idx] * MOVE_AMOUNT * is_move[:, None]
+        step_vec = MOVE_DIRS[dir_idx] * self.a_move[:, None] * is_move[:, None]
 
         is_attack = actions >= N_FIXED_ACTIONS
         t_e = jnp.clip(actions - N_FIXED_ACTIONS, 0, self.n_enemies - 1)
@@ -436,7 +465,8 @@ class MicroCombat(Environment):
         # attack order out of weapon range → close distance (attack-move)
         approach = (
             is_attack & out_of_range & alive
-        )[:, None] * to_tgt / jnp.maximum(tgt_dist, 1e-6)[:, None] * MOVE_AMOUNT
+        )[:, None] * to_tgt / jnp.maximum(tgt_dist, 1e-6)[:, None] \
+            * self.a_move[:, None]
         ally_pos = jnp.clip(s.ally_pos + step_vec + approach, 0.5, MAP_SIZE - 0.5)
 
         # ---- ally attacks / heals ---------------------------------------
@@ -567,10 +597,10 @@ class MicroCombat(Environment):
         norm = jnp.linalg.norm(to_dest, axis=-1, keepdims=True) + 1e-8
         advance = enemy_alive2 & (
             (has_target & (move_tgt_dist > self.e_rng))
-            | (no_tgt_move & (norm[:, 0] > MOVE_AMOUNT))
+            | (no_tgt_move & (norm[:, 0] > self.e_move))
         )
         enemy_pos = jnp.clip(
-            s.enemy_pos + to_dest / norm * MOVE_AMOUNT * advance[:, None],
+            s.enemy_pos + to_dest / norm * self.e_move[:, None] * advance[:, None],
             0.5, MAP_SIZE - 0.5,
         )
         keep = enemy_alive2 & has_target

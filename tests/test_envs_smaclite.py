@@ -62,6 +62,26 @@ def test_move_east_closes_distance_and_enables_attack():
     assert seen_attack
 
 
+def test_per_type_movement_speed():
+    """ENVS_FIDELITY S3 (closed round 5): a stalker's move action covers
+    speed-scaled distance (2.0 * 4.13/3.15 ≈ 2.62) while a zealot's
+    covers the base 2.0 — and the scripted bot's units pursue at their
+    own type's speed. Marine moves stay exactly 2.0 (bit-compat with the
+    uniform-speed era)."""
+    env = MicroCombat(["stalker", "zealot"], ["stalker", "zealot"],
+                      time_limit=50)
+    s, ts = env.reset(jax.random.PRNGKey(0))
+    pos0 = np.asarray(s.ally_pos)
+    # both agents move north (action 2)
+    s2, _ = env.step(s, jnp.array([2, 2], jnp.int32), jax.random.PRNGKey(1))
+    moved = np.asarray(s2.ally_pos) - pos0
+    np.testing.assert_allclose(moved[0], [0.0, 2.0 * 4.13 / 3.15], rtol=1e-6)
+    np.testing.assert_allclose(moved[1], [0.0, 2.0], rtol=1e-6)
+    # marine maps: exactly the historical 2.0 per move step
+    env3 = smaclite.make("3m")
+    np.testing.assert_array_equal(np.asarray(env3.a_move), 2.0)
+
+
 def test_combat_damage_and_kill_reward():
     env = MicroCombat(2, 2, time_limit=100)
     s, ts = env.reset(jax.random.PRNGKey(0))
@@ -361,7 +381,13 @@ def test_unit_stat_table_ratios():
     from cleanmarl_tpu.envs.smaclite import UNIT_TYPES
 
     t = UNIT_TYPES
-    assert t["marine"] == dict(hp=45.0, shield=0.0, dmg=6.0, cd=1.0, rng=6.0)
+    assert t["marine"] == dict(hp=45.0, shield=0.0, dmg=6.0, cd=1.0,
+                               rng=6.0, speed=3.15)
+    # S3 (closed round 5): per-type SC2 speeds — stalkers/medivacs
+    # (4.13) outrun the 3.15 classes; marine stays at the base speed
+    # so marine-map dynamics are unchanged
+    assert t["stalker"]["speed"] == t["medivac"]["speed"] == 4.13
+    assert t["zealot"]["speed"] == t["marauder"]["speed"] == 3.15
     assert t["stalker"]["hp"] == t["stalker"]["shield"] == 80.0
     assert t["zealot"]["rng"] < 2.0 < t["stalker"]["rng"]   # melee vs ranged
     assert t["marauder"]["cd"] == t["stalker"]["cd"] == 2.0  # slow hitters
