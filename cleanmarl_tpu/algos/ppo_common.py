@@ -95,11 +95,15 @@ class PPOConfig:
     remat_actor: bool = False       # jax.checkpoint the actor sequence
     # recompute (recurrent grad path) — trades ~1 extra forward scan for
     # not materializing the per-step GRU residuals of the whole rollout.
-    gru_impl: str = "xla"           # "pallas": the actor's training-time
+    gru_impl: str = "auto"          # "pallas": the actor's training-time
     # sequence recompute runs the fused Pallas GRU kernel — the whole
     # time loop in one kernel per batch tile, hidden state resident in
     # VMEM (ops/pallas_gru.py). Profile-driven: the scan path spends
     # ~89% of the north-star block in ~10µs per-step fusions.
+    # "auto" (default) picks pallas exactly where it measured faster —
+    # TPU backend AND actor_hidden_dim >= 256 (r4 sweep: +9% steps/s,
+    # −32% HBM at 256; parity at 128) — else xla. See
+    # networks.resolve_gru_impl.
     compute_dtype: str = "float32"  # "bfloat16" runs the UPDATE-path
     # matmuls (actor sequence recompute + critic) with bf16 operands and
     # f32 accumulation — params, carries, activations and the rollout
@@ -231,8 +235,10 @@ def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
     if cfg.compute_dtype not in ("float32", "bfloat16"):
         raise ValueError(f"compute_dtype must be float32|bfloat16, "
                          f"got {cfg.compute_dtype!r}")
-    if cfg.gru_impl not in ("xla", "pallas"):
-        raise ValueError(f"gru_impl must be xla|pallas, got {cfg.gru_impl!r}")
+    if cfg.gru_impl not in ("auto", "xla", "pallas"):
+        raise ValueError(
+            f"gru_impl must be auto|xla|pallas, got {cfg.gru_impl!r}"
+        )
     if cfg.gru_impl == "pallas" and cfg.tbptt:
         raise ValueError("gru_impl='pallas' does not support tbptt>0")
     if cfg.normalize_values and cfg.normalize_return:
@@ -246,6 +252,9 @@ def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
             "gru_impl='pallas' with compute_dtype='bfloat16' is not "
             "supported (the fused kernel's recurrent matmul is f32)"
         )
+    gru_impl = nets.resolve_gru_impl(
+        cfg.gru_impl, H, tbptt=cfg.tbptt, bf16=mm_dtype is not None
+    )
 
     def actor_step(actor_params, h, obs, avail):
         """One actor forward. → (h', masked logits)."""
@@ -267,7 +276,7 @@ def make_train(cfg: PPOConfig, env=None, centralized: bool = False,
         # (nets.rnn_seq_apply); numerics identical to the per-step form
         _, logits = nets.rnn_seq_apply(
             actor_params, h0, obs_seq, reset_seq=ended_seq, tbptt=cfg.tbptt,
-            dtype=mm_dtype, impl=cfg.gru_impl,
+            dtype=mm_dtype, impl=gru_impl,
         )
         return nets.masked_q(logits, avail_seq)
 

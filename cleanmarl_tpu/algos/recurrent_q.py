@@ -95,9 +95,11 @@ class RecurrentQConfig:
     # per-crossing semantics; per-iteration cost grows with num_envs)
     compute_dtype: str = "float32"   # "bfloat16": update-path matmuls run
     # with bf16 operands + f32 accumulation (params/carries stay f32)
-    gru_impl: str = "xla"            # "pallas": the online sequence
+    gru_impl: str = "auto"           # "pallas": the online sequence
     # recompute in the loss runs the fused Pallas GRU kernel
-    # (ops/pallas_gru.py); requires tbptt=0
+    # (ops/pallas_gru.py); requires tbptt=0. "auto" (default) picks
+    # pallas exactly where it measured faster — TPU backend AND
+    # hidden_dim >= 256 (networks.resolve_gru_impl) — else xla.
     target_network_update_freq: int = 1
     polyak: float = 0.01
     clip_gradients: float = -1.0
@@ -177,8 +179,10 @@ def make_train(cfg: RecurrentQConfig, env=None):
         raise ValueError(f"compute_dtype must be float32|bfloat16, "
                          f"got {cfg.compute_dtype!r}")
     mm_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
-    if cfg.gru_impl not in ("xla", "pallas"):
-        raise ValueError(f"gru_impl must be xla|pallas, got {cfg.gru_impl!r}")
+    if cfg.gru_impl not in ("auto", "xla", "pallas"):
+        raise ValueError(
+            f"gru_impl must be auto|xla|pallas, got {cfg.gru_impl!r}"
+        )
     if cfg.gru_impl == "pallas" and cfg.tbptt:
         raise ValueError("gru_impl='pallas' does not support tbptt>0")
     if cfg.gru_impl == "pallas" and mm_dtype is not None:
@@ -186,6 +190,10 @@ def make_train(cfg: RecurrentQConfig, env=None):
             "gru_impl='pallas' with compute_dtype='bfloat16' is not "
             "supported (the fused kernel's recurrent matmul is f32)"
         )
+    gru_impl = nets.resolve_gru_impl(
+        cfg.gru_impl, cfg.hidden_dim, tbptt=cfg.tbptt,
+        bf16=mm_dtype is not None,
+    )
 
     def mix(params, agent_qs, state):
         """Team value from per-agent values."""
@@ -279,7 +287,7 @@ def make_train(cfg: RecurrentQConfig, env=None):
 
         _, q_next = nets.rnn_seq_apply(
             target_params["q"], h_t, tm["next_obs"][bi:], dtype=mm_dtype,
-            impl=cfg.gru_impl,
+            impl=gru_impl,
         )
         q_next_max = nets.masked_q(q_next, tm["next_avail"][bi:]).max(axis=-1)
         # (L-bi, B, n)
@@ -289,7 +297,7 @@ def make_train(cfg: RecurrentQConfig, env=None):
 
         def loss_fn(p):
             _, q = nets.rnn_seq_apply(p["q"], h_u, tm["obs"][bi:],
-                                      dtype=mm_dtype, impl=cfg.gru_impl)
+                                      dtype=mm_dtype, impl=gru_impl)
             q_taken = jnp.take_along_axis(
                 q, tm["action"][bi:][..., None], axis=-1
             )[..., 0]
@@ -330,7 +338,7 @@ def make_train(cfg: RecurrentQConfig, env=None):
         def loss_fn(p):
             _, q = nets.rnn_seq_apply(
                 p["q"], h0, tm["obs"], tbptt=cfg.tbptt, dtype=mm_dtype,
-                impl=cfg.gru_impl,
+                impl=gru_impl,
             )
             q_taken = jnp.take_along_axis(
                 q, tm["action"][..., None], axis=-1

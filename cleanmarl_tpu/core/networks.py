@@ -230,6 +230,33 @@ def _rnn_seq_apply_pallas(params, h0, x_seq, reset_seq, dtype):
     return h_final, dense(params["head"], h_seq, dtype)
 
 
+def resolve_gru_impl(impl: str, hidden_dim: int, tbptt: int = 0,
+                     bf16: bool = False) -> str:
+    """Resolve ``gru_impl="auto"`` → "pallas" | "xla".
+
+    The fused Pallas GRU (ops/pallas_gru.py) is at parity with the XLA
+    scan at hidden 128 and wins outright at wide hidden — +9% steps/s
+    and −32% compiled HBM at 256, −5G HBM on 27m_vs_30m (round-4 sweep,
+    validation/bench_sweep_r4_wide.jsonl) — so "auto" picks it exactly
+    where it is the measured winner: on a real TPU backend with
+    hidden ≥ 256, outside the kernel's unsupported modes (tbptt,
+    bf16 operands). Explicit "xla"/"pallas" are passed through.
+    """
+    if impl != "auto":
+        return impl
+    if tbptt or bf16:
+        return "xla"
+    try:
+        d = jax.devices()[0]
+        on_tpu = (
+            d.platform == "tpu"
+            or "tpu" in str(getattr(d, "device_kind", "")).lower()
+        )
+    except RuntimeError:  # no backend available (init failure)
+        on_tpu = False
+    return "pallas" if (on_tpu and hidden_dim >= 256) else "xla"
+
+
 def rnn_seq_apply(params, h0, x_seq, reset_seq=None, tbptt: int = 0,
                   dtype=None, impl: str = "xla"):
     """fc1→GRU→head over a time-major sequence ``x_seq (T, ..., in_dim)``

@@ -70,6 +70,13 @@ CASES = [
     # --- PPO family (ippo.py / mappo.py Args + §4b deviations) ---
     ("ippo", dict(recurrent=True, gru_impl="pallas")),       # r3 regression
     ("mappo", dict(recurrent=True, gru_impl="pallas")),
+    # "auto" (default, round 5) must resolve and run everywhere — on the
+    # CPU test backend it resolves to xla; combined with the kernel's
+    # unsupported modes it must pick xla rather than raise
+    ("ippo", dict(recurrent=True, gru_impl="auto")),
+    ("ippo", dict(recurrent=True, gru_impl="auto", tbptt=2)),
+    ("mappo", dict(recurrent=True, gru_impl="auto",
+                   compute_dtype="bfloat16")),
     ("ippo", dict(recurrent=True, compute_dtype="bfloat16")),
     ("mappo", dict(recurrent=True, compute_dtype="bfloat16",
                    num_minibatches=2)),
@@ -108,6 +115,7 @@ CASES = [
     ("recq", dict(tbptt=4)),
     ("recq", dict(compute_dtype="bfloat16")),
     ("recq", dict(gru_impl="pallas")),
+    ("recq", dict(gru_impl="auto")),
     ("recq", dict(mixing="qmix", max_updates_per_iter=1)),
     ("recq", dict(bootstrap_truncation=True, normalize_reward=True)),
     # --- MADDPG family (maddpg.py / maddpg_lstm.py Args) ---
