@@ -262,6 +262,55 @@ CONFIGS = {
         threshold=0.6,
         metric="eval/battle_won",
     ),
+    # round-5 guards for the round-4 breakthroughs (VERDICT r4 next-3).
+    # Budgets are truncations of the committed 50M curves at the point
+    # the run is decisively past threshold, to keep --all affordable:
+    # 8m_vs_9m hit 1.0 by 3.4M steps (mappo_8m9m_r4.jsonl), 27m_vs_30m
+    # 0.97 by 6.9M / 1.0 by 12.8M (mappo_27m30m_r4.jsonl).
+    "mappo_8m9m_paper": dict(
+        algo="mappo",
+        kwargs=dict(
+            env_type="smaclite", env_name="8m_vs_9m", recurrent=True,
+            num_envs=256, rollout_len=60, total_timesteps=10_000_000,
+            actor_hidden_dim=128, critic_hidden_dim=128,
+            learning_rate_actor=5e-4, learning_rate_critic=5e-4,
+            entropy_coef=0.01, epochs=10, td_lambda=0.95, ppo_clip=0.05,
+            normalize_advantage=True, death_masking=True,
+            normalize_values=True, log_interval=4,
+        ),
+        threshold=0.8,   # r4 curve: 0.9-1.0 throughout 4-10M
+        metric="eval/battle_won",
+    ),
+    "mappo_27m30m_paper": dict(
+        algo="mappo",
+        kwargs=dict(
+            env_type="smaclite", env_name="27m_vs_30m", recurrent=True,
+            num_envs=512, rollout_len=60, total_timesteps=15_000_000,
+            actor_hidden_dim=128, critic_hidden_dim=128,
+            learning_rate_actor=5e-4, learning_rate_critic=5e-4,
+            entropy_coef=0.01, epochs=10, td_lambda=0.95, ppo_clip=0.05,
+            normalize_advantage=True, death_masking=True,
+            normalize_values=True, log_interval=4,
+        ),
+        threshold=0.75,  # r4 curve: ≥0.97 from 6.9M on
+        metric="eval/battle_won",
+    ),
+    # QMIX-RNN cracks 5m_vs_6m with its unchanged 3m recipe (round 4,
+    # qmix_rnn_5m6m_r4.jsonl: 0 until ~5M, 0.95 tail at 10M) — the full
+    # budget is required; the threshold leaves seed margin on the tail
+    "qmix_rnn_5m6m": dict(
+        algo="recurrent_q",
+        kwargs=dict(
+            env_type="smaclite", env_name="5m_vs_6m", mixing="qmix",
+            num_envs=64, total_timesteps=10_000_000,
+            buffer_size=5_000, batch_size=32, train_freq=1,
+            learning_rate=5e-4, polyak=0.005, hidden_dim=64,
+            exploration_fraction=0.05, end_e=0.025,
+            max_updates_per_iter=8, log_interval=50,
+        ),
+        threshold=0.6,   # r4 tail 0.95-0.97
+        metric="eval/battle_won",
+    ),
     "coma_lbf": dict(
         algo="coma",
         kwargs=dict(
