@@ -48,6 +48,7 @@ def main():
     ap.add_argument("--death_masking", type=int, default=0)
     ap.add_argument("--normalize_values", type=int, default=0)
     ap.add_argument("--ppo_clip", type=float, default=0.2)
+    ap.add_argument("--gru_impl", default="auto")
     ap.add_argument("--stop_at", type=float, default=2.0)  # >1 → never stop early
     args = ap.parse_args()
 
@@ -66,7 +67,7 @@ def main():
         num_minibatches=args.num_minibatches,
         death_masking=bool(args.death_masking),
         normalize_values=bool(args.normalize_values),
-        ppo_clip=args.ppo_clip,
+        ppo_clip=args.ppo_clip, gru_impl=args.gru_impl,
         total_timesteps=args.total_timesteps, log_interval=4,
         num_eval_ep=args.num_eval_ep, seed=args.seed, verbose=False,
     )

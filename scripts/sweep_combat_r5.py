@@ -85,14 +85,35 @@ CELLS = {
     "maddpg_3m_rnn":   ("maddpg", MADDPG_BASE, {"recurrent": True}),
 }
 
-CELLS2 = {}  # refined in later grid rounds
+# round 2: round-1 found COMA-FF at 0.80 tail / FACMAC-ref at 0.88 in
+# 2M steps — replicate on a second seed and extend the budget; the
+# recurrent COMA cells stalled at ~0.2 in 208 updates, so give the GRU
+# actor a longer run with a slower anneal
+CELLS2 = {
+    "coma_3m_ff_s2":    ("coma", COMA_BASE, {"seed": 2}),
+    "coma_3m_ff_4m":    ("coma", COMA_BASE,
+                         {"total_timesteps": 4_000_000,
+                          "exploration_fraction": 200.0}),
+    "coma_3m_rnn_4m":   ("coma", COMA_BASE,
+                         {"recurrent": True, "total_timesteps": 4_000_000,
+                          "exploration_fraction": 200.0}),
+    "coma_3m_rnn_lra3": ("coma", COMA_BASE,
+                         {"recurrent": True, "total_timesteps": 4_000_000,
+                          "learning_rate_actor": 3e-4,
+                          "exploration_fraction": 200.0}),
+    "facmac_3m_ref_s2": ("facmac", FACMAC_BASE, {"seed": 2}),
+    "facmac_3m_ref_4m": ("facmac", FACMAC_BASE,
+                         {"total_timesteps": 4_000_000}),
+}
 
 
 def run_one(name: str) -> dict:
     import jax
 
     algo, base, ov = ALL_CELLS[name]
-    kwargs = {**base, **ov, "seed": 1}
+    kwargs = {**base, **ov}
+    kwargs.setdefault("seed", 1)
+    seed = kwargs["seed"]
     if algo == "coma":
         from cleanmarl_tpu.algos.coma import COMAConfig, make_train
         cfg = COMAConfig(**kwargs)
@@ -111,7 +132,7 @@ def run_one(name: str) -> dict:
     else:
         raise ValueError(algo)
 
-    runner = init(jax.random.PRNGKey(1))
+    runner = init(jax.random.PRNGKey(seed))
     num_blocks = max(1, cfg.total_timesteps // spb)
     eval_every = max(1, num_blocks // 40)
     out_dir = os.path.join(REPO, "validation", "r5")
