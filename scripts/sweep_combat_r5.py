@@ -101,9 +101,10 @@ CELLS2 = {
                          {"recurrent": True, "total_timesteps": 4_000_000,
                           "learning_rate_actor": 3e-4,
                           "exploration_fraction": 200.0}),
-    "facmac_3m_ref_s2": ("facmac", FACMAC_BASE, {"seed": 2}),
-    "facmac_3m_ref_4m": ("facmac", FACMAC_BASE,
-                         {"total_timesteps": 4_000_000}),
+    "facmac_3m_b64_s2": ("facmac", FACMAC_BASE,
+                         {"batch_size": 64, "learning_rate_actor": 5e-4,
+                          "learning_rate_critic": 5e-4, "seed": 2}),
+    "maddpg_3m_ref_s2": ("maddpg", MADDPG_BASE, {"seed": 2}),
 }
 
 
