@@ -262,6 +262,52 @@ CONFIGS = {
         threshold=0.6,
         metric="eval/battle_won",
     ),
+    # round-5 combat-map validation for the three families whose
+    # reference configs default to SMAClite (coma.py:20-22 /
+    # facmac.py:20-22 / maddpg.py:19-21) — recipes = the winning cells
+    # of validation/sweep_combat_r5.jsonl (curves in validation/r5/)
+    "coma_3m": dict(
+        algo="coma",
+        kwargs=dict(
+            env_type="smaclite", env_name="3m",
+            num_envs=64, total_timesteps=2_000_000,
+            actor_hidden_dim=64, critic_hidden_dim=128,
+            learning_rate_actor=5e-4, learning_rate_critic=5e-4,
+            td_lambda=0.8, normalize_advantage=True,
+            entropy_coef=0.001, start_e=0.5, end_e=0.002,
+            exploration_fraction=100.0, log_interval=8,
+        ),
+        threshold=0.5,   # validated tail 0.80 (best 0.92); COMA is the
+        metric="eval/battle_won",  # family's high-variance member
+    ),
+    "facmac_3m": dict(
+        algo="facmac",
+        kwargs=dict(
+            env_type="smaclite", env_name="3m",
+            num_envs=64, total_timesteps=2_000_000,
+            buffer_size=5_000, batch_size=64, train_freq=1,
+            learning_rate_actor=5e-4, learning_rate_critic=5e-4,
+            actor_hidden_dim=64, critic_hidden_dim=64, hyper_dim=64,
+            polyak=0.005, exploration_fraction=750.0,
+            max_updates_per_iter=8, log_interval=50,
+        ),
+        threshold=0.75,  # validated tail 0.95 (ref-default batch 10→
+        metric="eval/battle_won",  # 32-shaped recipe: 0.88)
+    ),
+    "maddpg_3m": dict(
+        algo="maddpg",
+        kwargs=dict(
+            env_type="smaclite", env_name="3m",
+            num_envs=64, total_timesteps=2_000_000,
+            buffer_size=5_000, batch_size=32, train_freq=1,
+            learning_rate_actor=3e-4, learning_rate_critic=3e-4,
+            actor_hidden_dim=64, critic_hidden_dim=128,
+            normalize_reward=True,
+            max_updates_per_iter=8, log_interval=50,
+        ),
+        threshold=0.6,   # validated FF tail 0.89; the GRU variant
+        metric="eval/battle_won",  # reaches 0.95 (maddpg_3m_rnn)
+    ),
     # round-5 guards for the round-4 breakthroughs (VERDICT r4 next-3).
     # Budgets are truncations of the committed 50M curves at the point
     # the run is decisively past threshold, to keep --all affordable:
