@@ -13,6 +13,22 @@ cd /root/repo
 R=scripts/mappo_3m_run.py
 PAPER="--epochs 10 --ppo_clip 0.05 --anneal_lr 0 --anneal_entropy 0 --death_masking 1 --normalize_values 1"
 
+# ---- 3s5z/2s3z close-out (the one map still <0.9): the round-5 winner
+# so far is annealed recipe + death_masking/normalize_values under the
+# new per-type speeds (tail10 0.856, best 0.97 at 40M). Probe the two
+# obvious levers: budget (80M: longer anneal = longer exploration) and
+# the MAPPO-paper easy-map settings (clip 0.2, 5 epochs, constant lr).
+LEVERS="--death_masking 1 --normalize_values 1"
+python $R --env_name 3s5z --total_timesteps 80000000 $LEVERS \
+  --out validation/r5/mappo_3s5z_lever80_speed.jsonl
+python $R --env_name 3s5z --total_timesteps 40000000 $LEVERS --seed 2 \
+  --out validation/r5/mappo_3s5z_lever_s2_speed.jsonl
+python $R --env_name 3s5z --total_timesteps 40000000 $LEVERS \
+  --epochs 5 --anneal_lr 0 --anneal_entropy 0 \
+  --out validation/r5/mappo_3s5z_paper5_speed.jsonl
+python $R --env_name 2s3z --total_timesteps 40000000 $LEVERS \
+  --out validation/r5/mappo_2s3z_lever_speed.jsonl
+
 python $R --env_name 27m_vs_30m --num_envs 512 --total_timesteps 25000000 \
   $PAPER --gru_impl xla --stop_at 0.95 \
   --out validation/r5/mappo_27m30m_xla_tt95.jsonl
