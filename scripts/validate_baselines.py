@@ -78,7 +78,10 @@ CONFIGS = {
             actor_hidden_dim=64, critic_hidden_dim=128,
             log_interval=40,
         ),
-        threshold=-30.0,
+        threshold=-15.0,  # round-5 seed study: tails -9.5 / -5.9 / -7.3
+        # (seeds 1/2/3; r5/maddpg_sl_s{2,3}.jsonl) — the -18.3 the r4
+        # VERDICT flagged was a stale r3-era artifact; the serviced
+        # target clock (r4) closed the gap. Threshold = worst seed − ~6.
     ),
     "facmac_sl": dict(
         algo="facmac",
