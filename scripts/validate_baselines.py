@@ -344,6 +344,70 @@ CONFIGS = {
         threshold=0.75,  # r4 curve: ≥0.97 from 6.9M on
         metric="eval/battle_won",
     ),
+    # Heterogeneous maps under per-type movement speeds (round 5 —
+    # ENVS_FIDELITY S3 closed; curves validation/r5/mappo_*_speed.jsonl,
+    # annealed north-star recipe). Budgets trimmed to where each curve
+    # is already converged; thresholds = tail minus seed margin.
+    "mappo_mmm": dict(
+        algo="mappo",
+        kwargs=dict(
+            env_type="smaclite", env_name="MMM", recurrent=True,
+            num_envs=256, rollout_len=60, total_timesteps=10_000_000,
+            actor_hidden_dim=128, critic_hidden_dim=128,
+            learning_rate_actor=5e-4, learning_rate_critic=5e-4,
+            entropy_coef=0.01, anneal_entropy=True, anneal_lr=True,
+            epochs=8, td_lambda=0.95, normalize_advantage=True,
+            log_interval=4,
+        ),
+        threshold=0.75,  # r5 speed curve: 1.0 from 4.4M on (tail10 0.988)
+        metric="eval/battle_won",
+    ),
+    "mappo_mmm2": dict(
+        algo="mappo",
+        kwargs=dict(
+            env_type="smaclite", env_name="MMM2", recurrent=True,
+            num_envs=256, rollout_len=60, total_timesteps=15_000_000,
+            actor_hidden_dim=128, critic_hidden_dim=128,
+            learning_rate_actor=5e-4, learning_rate_critic=5e-4,
+            entropy_coef=0.01, anneal_entropy=True, anneal_lr=True,
+            epochs=8, td_lambda=0.95, normalize_advantage=True,
+            log_interval=4,
+        ),
+        threshold=0.75,  # r5 speed curve: ~1.0 from 12M on (tail10 0.997)
+        metric="eval/battle_won",
+    ),
+    "mappo_2s3z": dict(
+        algo="mappo",
+        kwargs=dict(
+            env_type="smaclite", env_name="2s3z", recurrent=True,
+            num_envs=256, rollout_len=60, total_timesteps=40_000_000,
+            actor_hidden_dim=128, critic_hidden_dim=128,
+            learning_rate_actor=5e-4, learning_rate_critic=5e-4,
+            entropy_coef=0.01, anneal_entropy=True, anneal_lr=True,
+            epochs=8, td_lambda=0.95, normalize_advantage=True,
+            log_interval=4,
+        ),
+        threshold=0.65,  # r5 speed curve tail10 0.834 (oscillates 0.62-0.94)
+        metric="eval/battle_won",
+    ),
+    # 3s5z: the winning round-5 recipe is annealed + the hard-map levers
+    # (death_masking/normalize_values) — tail10 0.856 under per-type
+    # speeds vs 0.60-0.66 for the paper/plain recipes
+    "mappo_3s5z": dict(
+        algo="mappo",
+        kwargs=dict(
+            env_type="smaclite", env_name="3s5z", recurrent=True,
+            num_envs=256, rollout_len=60, total_timesteps=40_000_000,
+            actor_hidden_dim=128, critic_hidden_dim=128,
+            learning_rate_actor=5e-4, learning_rate_critic=5e-4,
+            entropy_coef=0.01, anneal_entropy=True, anneal_lr=True,
+            epochs=8, td_lambda=0.95, normalize_advantage=True,
+            death_masking=True, normalize_values=True,
+            log_interval=4,
+        ),
+        threshold=0.65,  # r5 lever_speed curve tail10 0.856
+        metric="eval/battle_won",
+    ),
     # QMIX-RNN cracks 5m_vs_6m with its unchanged 3m recipe (round 4,
     # qmix_rnn_5m6m_r4.jsonl: 0 until ~5M, 0.95 tail at 10M) — the full
     # budget is required; the threshold leaves seed margin on the tail
