@@ -107,6 +107,7 @@ REWARD_KILL = 10.0
 REWARD_WIN = 200.0
 REWARD_SCALE = 20.0
 SHIELD_REGEN = 2.0
+UNIT_RADIUS = 0.5     # collision radius (S11 opt-in lever; SC2 radii 0.375-0.75)
 
 # kept for external use/tests (marine baseline)
 MAX_HP = UNIT_TYPES["marine"]["hp"]
@@ -144,7 +145,12 @@ class MicroCombat(Environment):
         ally_types,
         enemy_types,
         time_limit: int = 150,
+        unit_collisions: bool = False,
     ):
+        # S11 opt-in: pairwise unit collision resolve (default OFF — the
+        # validated maps/transcripts were recorded without it; see
+        # ENVS_FIDELITY.md S11)
+        self.unit_collisions = unit_collisions
         # ints = marine counts (the original homogeneous constructor)
         if isinstance(ally_types, int):
             ally_types = ["marine"] * ally_types
@@ -435,6 +441,31 @@ class MicroCombat(Environment):
         dealt = (shield - shield2) + (hp - hp2)
         return hp2, shield2, dealt
 
+    def _resolve_collisions(self, ally_pos, enemy_pos, ally_alive, enemy_alive):
+        """Pairwise push-out so live units keep ≥2·UNIT_RADIUS separation.
+
+        Two Jacobi relaxation passes over the combined (A+E) position
+        block: every overlapping live pair moves each member half the
+        overlap apart along the separation direction. Approximate
+        simultaneous collision (SMAC's engine solves it exactly per
+        frame, ENVS_FIDELITY.md S11); branchless and O(N²) with N ≤ ~60
+        on the published maps. Dead units neither push nor get pushed.
+        """
+        pos = jnp.concatenate([ally_pos, enemy_pos], axis=0)          # (N,2)
+        live = jnp.concatenate([ally_alive, enemy_alive], axis=0)     # (N,)
+        n = pos.shape[0]
+        pair = live[:, None] & live[None, :] & ~jnp.eye(n, dtype=bool)
+        for _ in range(2):
+            delta = pos[:, None, :] - pos[None, :, :]                 # (N,N,2)
+            dist = jnp.linalg.norm(delta, axis=-1)
+            overlap = jnp.maximum(2.0 * UNIT_RADIUS - dist, 0.0) * pair
+            dirn = delta / jnp.maximum(dist, 1e-6)[..., None]
+            pos = jnp.clip(
+                pos + jnp.sum(dirn * (0.5 * overlap)[..., None], axis=1),
+                0.5, MAP_SIZE - 0.5,
+            )
+        return pos[: self.n_agents], pos[self.n_agents:]
+
     def _step(self, s: SmacState, actions, key):
         alive = s.ally_hp > 0.0
         enemy_alive = s.enemy_hp > 0.0
@@ -623,6 +654,12 @@ class MicroCombat(Environment):
             ally_shield,
         )
 
+        # ---- collisions (S11 opt-in) ----------------------------------
+        if self.unit_collisions:
+            ally_pos, enemy_pos = self._resolve_collisions(
+                ally_pos, enemy_pos, ally_hp > 0.0, enemy_hp > 0.0
+            )
+
         # ---- termination / reward -------------------------------------
         t2 = s.t + 1
         all_enemies_dead = jnp.all(enemy_hp <= 0.0)
@@ -660,22 +697,23 @@ def make(map_name: str, time_limit: int = 150, **kwargs) -> Environment:
     m = re.fullmatch(r"(\d+)m", map_name)
     if m:
         n = int(m.group(1))
-        return _combat(n, n, time_limit=time_limit)
+        return _combat(n, n, time_limit=time_limit, **kwargs)
     m = re.fullmatch(r"(\d+)m_vs_(\d+)m", map_name)
     if m:
-        return _combat(int(m.group(1)), int(m.group(2)), time_limit=time_limit)
+        return _combat(int(m.group(1)), int(m.group(2)),
+                       time_limit=time_limit, **kwargs)
     m = re.fullmatch(r"(\d+)s(\d+)z", map_name)
     if m:
         types = ["stalker"] * int(m.group(1)) + ["zealot"] * int(m.group(2))
-        return MicroCombat(types, list(types), time_limit=time_limit)
+        return MicroCombat(types, list(types), time_limit=time_limit, **kwargs)
     # SMAC's Terran bio-ball maps (medivac + marauders + marines)
     if map_name.upper() == "MMM":
         types = ["medivac"] + ["marauder"] * 2 + ["marine"] * 7
-        return MicroCombat(types, list(types), time_limit=time_limit)
+        return MicroCombat(types, list(types), time_limit=time_limit, **kwargs)
     if map_name.upper() == "MMM2":
         allies = ["medivac"] + ["marauder"] * 2 + ["marine"] * 7
         enemies = ["medivac"] + ["marauder"] * 3 + ["marine"] * 8
-        return MicroCombat(allies, enemies, time_limit=time_limit)
+        return MicroCombat(allies, enemies, time_limit=time_limit, **kwargs)
     raise ValueError(
         f"unknown smaclite map {map_name!r}; supported: Nm (e.g. 3m, 8m), "
         f"Nm_vs_Mm (e.g. 5m_vs_6m), NsMz (e.g. 2s3z, 3s5z), MMM, MMM2"

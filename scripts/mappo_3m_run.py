@@ -50,6 +50,8 @@ def main():
     ap.add_argument("--ppo_clip", type=float, default=0.2)
     ap.add_argument("--gru_impl", default="auto")
     ap.add_argument("--stop_at", type=float, default=2.0)  # >1 → never stop early
+    # S11 ablation lever (ENVS_FIDELITY.md): pairwise unit collisions
+    ap.add_argument("--unit_collisions", type=int, default=0)
     args = ap.parse_args()
 
     cfg = PPOConfig(
@@ -71,7 +73,15 @@ def main():
         total_timesteps=args.total_timesteps, log_interval=4,
         num_eval_ep=args.num_eval_ep, seed=args.seed, verbose=False,
     )
-    init, train_block, eval_fn, meta = make_train(cfg)
+    env = None
+    if args.unit_collisions:
+        from cleanmarl_tpu.envs import smaclite
+        from cleanmarl_tpu.envs.wrappers import AgentIDWrapper
+
+        env = AgentIDWrapper(
+            smaclite.make(args.env_name, unit_collisions=True)
+        )
+    init, train_block, eval_fn, meta = make_train(cfg, env=env)
     runner = init(jax.random.PRNGKey(cfg.seed))
     t0 = time.time()
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)

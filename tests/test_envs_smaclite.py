@@ -525,3 +525,47 @@ def test_medivac_cannot_attack_and_soldiers_cannot_heal():
     assert not avail[0, N_FIXED_ACTIONS:].any()
     # soldier: damaged ally adjacent but no enemy in range → no target bits
     assert not avail[3, N_FIXED_ACTIONS:].any()
+
+
+def test_unit_collisions_opt_in_pushout():
+    """ENVS_FIDELITY S11 lever: with ``unit_collisions=True`` two live
+    units closer than 2*UNIT_RADIUS are pushed apart; the default env
+    leaves them overlapped (validated maps were recorded without
+    collisions, so the lever must be opt-in)."""
+    from cleanmarl_tpu.envs.smaclite import UNIT_RADIUS, MicroCombat as MC
+
+    overlap_state = dict(
+        ally_pos=jnp.array([[16.0, 16.0], [16.2, 16.0]]),
+        enemy_pos=jnp.array([[30.0, 2.0], [30.0, 4.0]]),
+    )
+    stop = jnp.array([1, 1], jnp.int32)
+
+    env_on = MC(2, 2, time_limit=50, unit_collisions=True)
+    s, _ = env_on.reset(jax.random.PRNGKey(0))
+    s = s.replace(**overlap_state)
+    s2, _ = env_on.step(s, stop, jax.random.PRNGKey(1))
+    gap = float(jnp.linalg.norm(s2.ally_pos[0] - s2.ally_pos[1]))
+    assert gap > 0.2  # pushed apart toward 2*UNIT_RADIUS separation
+    assert gap <= 2.0 * UNIT_RADIUS + 1e-5
+
+    env_off = MC(2, 2, time_limit=50)
+    s, _ = env_off.reset(jax.random.PRNGKey(0))
+    s = s.replace(**overlap_state)
+    s2, _ = env_off.step(s, stop, jax.random.PRNGKey(1))
+    assert float(jnp.linalg.norm(s2.ally_pos[0] - s2.ally_pos[1])) < 0.21
+
+
+def test_unit_collisions_ignore_dead_units():
+    """A dead unit neither pushes nor gets pushed (S11 lever)."""
+    from cleanmarl_tpu.envs.smaclite import MicroCombat as MC
+
+    env = MC(2, 2, time_limit=50, unit_collisions=True)
+    s, _ = env.reset(jax.random.PRNGKey(0))
+    s = s.replace(
+        ally_pos=jnp.array([[16.0, 16.0], [16.1, 16.0]]),
+        ally_hp=s.ally_hp.at[1].set(0.0),   # overlapping corpse
+        enemy_pos=jnp.array([[30.0, 2.0], [30.0, 4.0]]),
+    )
+    s2, _ = env.step(s, jnp.array([1, 0], jnp.int32), jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(s2.ally_pos[0]), [16.0, 16.0])
+    np.testing.assert_allclose(np.asarray(s2.ally_pos[1]), [16.1, 16.0])
