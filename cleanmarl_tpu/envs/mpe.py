@@ -274,13 +274,113 @@ class SimpleSpeakerListener(Environment):
         return s2, self._timestep(s2, reward, t2 >= self.episode_limit)
 
 
+class SimpleReference(Environment):
+    """``simple_reference_v3``: 2 mobile agents, 3 colored landmarks.
+
+    Each agent privately observes the goal landmark the OTHER agent
+    must reach (upstream ``simple_reference.py`` reset: ``goal_a`` =
+    the other agent, ``goal_b`` = a random landmark) and can both move
+    and "say" one of ``dim_c=10`` symbols. The speaker-listener task in
+    both directions at once — the canonical MPE referential game.
+
+    PettingZoo parity notes (wheel absent in-image; built to the
+    published scenario/simple_env code):
+
+    - action space Discrete(50): combined movement × communication,
+      decoded exactly as ``simple_env._execute_world_step`` does —
+      ``move = a % 5``, ``say = a // 5``.
+    - obs (21,) per agent: [self_vel(2), landmark_rel(6),
+      goal_color(3), other_comm(10)]; goal colors are the landmark
+      colors 0.25 + 0.5·onehot(goal).
+    - reward (``local_ratio=0.5``): 0.5·local_i + 0.5·mean_j(local_j)
+      with local_i = −‖goal_a_i − goal_b_i‖² = −dist²(other agent,
+      its assigned landmark); the CTDE team reward is agent 0's
+      (pettingzoo_wrapper.py:66).
+    - agents don't collide (upstream ``agent.collide = False``);
+      utterances land on the next step's obs (world.step order).
+    """
+
+    def __init__(self, max_cycles: int = 25, local_ratio: float = 0.5):
+        self.n_agents = 2
+        self.n_landmarks = 3
+        self.episode_limit = max_cycles
+        self.local_ratio = local_ratio
+        self.c_dim = 10
+        self.n_move = 5
+        self.n_actions = self.n_move * self.c_dim     # Discrete(50)
+        self.obs_dim = 2 + 2 * self.n_landmarks + 3 + self.c_dim
+        self.state_dim = self.obs_dim * self.n_agents
+
+    def _obs(self, s: MPEState) -> chex.Array:
+        # goal matrix: goal[i] = landmark the OTHER agent must reach,
+        # observed by agent i
+        goal_color = 0.25 + 0.5 * jax.nn.one_hot(s.goal, self.n_landmarks)
+
+        def per_agent(i):
+            rel_lm = (s.landmark_pos - s.agent_pos[i]).reshape(-1)
+            other_comm = s.comm[1 - i]
+            return jnp.concatenate(
+                [s.agent_vel[i], rel_lm, goal_color[i], other_comm]
+            )
+
+        return jnp.stack([per_agent(0), per_agent(1)])
+
+    def _timestep(self, s, reward, truncated):
+        obs = self._obs(s)
+        return TimeStep(
+            obs=obs,
+            state=obs.reshape(-1),
+            avail=jnp.ones((self.n_agents, self.n_actions), jnp.bool_),
+            reward=jnp.asarray(reward, jnp.float32),
+            done=jnp.zeros((), jnp.bool_),
+            truncated=jnp.asarray(truncated, jnp.bool_),
+            info={"battle_won": jnp.zeros((), jnp.float32)},
+        )
+
+    def _reset(self, key):
+        kg, ka, kl = jax.random.split(key, 3)
+        s = MPEState(
+            agent_pos=jax.random.uniform(ka, (2, 2), minval=-1.0, maxval=1.0),
+            agent_vel=jnp.zeros((2, 2)),
+            landmark_pos=jax.random.uniform(kl, (3, 2), minval=-1.0, maxval=1.0),
+            comm=jnp.zeros((2, self.c_dim)),
+            goal=jax.random.randint(kg, (2,), 0, self.n_landmarks),
+            t=jnp.zeros((), jnp.int32),
+        )
+        return s, self._timestep(s, 0.0, False)
+
+    def _step(self, s: MPEState, actions, key):
+        move = actions % self.n_move
+        say = actions // self.n_move
+        u = action_force(move, self.n_move)                   # (2, 2)
+        movable = jnp.ones((2,), bool)
+        agent_pos, agent_vel = integrate(s.agent_pos, s.agent_vel, u, movable)
+        comm = jax.nn.one_hot(say, self.c_dim)                # (2, c_dim)
+        t2 = s.t + 1
+        s2 = s.replace(
+            agent_pos=agent_pos, agent_vel=agent_vel, comm=comm, t=t2
+        )
+        # local_i = −dist²(other agent, the landmark agent i assigned it)
+        other = jnp.array([1, 0])
+        local = -jnp.sum(
+            jnp.square(agent_pos[other] - s.landmark_pos[s.goal]), axis=-1
+        )                                                      # (2,)
+        reward = (
+            self.local_ratio * local[0]
+            + (1.0 - self.local_ratio) * jnp.mean(local)
+        )
+        return s2, self._timestep(s2, reward, t2 >= self.episode_limit)
+
+
 def make(env_name: str, **kwargs) -> Environment:
     name = env_name.lower()
     if name.startswith("simple_spread"):
         return SimpleSpread(**kwargs)
     if name.startswith("simple_speaker_listener"):
         return SimpleSpeakerListener(**kwargs)
+    if name.startswith("simple_reference"):
+        return SimpleReference(**kwargs)
     raise ValueError(
         f"unknown MPE scenario {env_name!r}; available: simple_spread_v3, "
-        f"simple_speaker_listener_v4"
+        f"simple_speaker_listener_v4, simple_reference_v3"
     )

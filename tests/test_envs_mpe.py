@@ -174,3 +174,50 @@ def test_vdn_trains_on_spread_smoke():
     assert np.isfinite(float(metrics["train/loss"]))
     assert np.isfinite(float(metrics["rollout/ep_reward"]))
     assert float(metrics["rollout/ep_length"]) == 25.0
+
+
+def test_reference_contract_and_action_decode():
+    """simple_reference_v3: Discrete(50) decodes move = a % 5,
+    say = a // 5 (pettingzoo simple_env._execute_world_step); the
+    utterance lands on the OTHER agent's next-step obs tail."""
+    env = mpe.make("simple_reference_v3")
+    assert env.n_actions == 50 and env.obs_dim == 21
+    key = jax.random.PRNGKey(0)
+    s, ts = env.reset(key)
+    assert ts.obs.shape == (2, 21)
+    # agent 0 says symbol 7 while standing still (a = 0 + 5*7);
+    # agent 1 moves +x silently (a = 1)
+    s2, ts2 = env.step(s, jnp.array([35, 1], jnp.int32), key)
+    np.testing.assert_array_equal(
+        np.asarray(ts2.obs[1, -10:]), np.eye(10)[7]
+    )  # agent 1 hears 7
+    np.testing.assert_array_equal(
+        np.asarray(ts2.obs[0, -10:]), np.eye(10)[0]
+    )  # agent 0 hears agent 1's comm component 1 % ... = say 0
+    assert float(s2.agent_vel[1, 0]) > 0.0   # decoded move
+    assert float(s2.agent_vel[0, 0]) == 0.0  # speaker stood still
+
+
+def test_reference_goal_obs_and_reward():
+    """Each agent observes the goal color of the landmark the OTHER
+    agent must reach; team reward blends agent 0's local −dist²(agent 1,
+    goal 0) with the mean over both locals at local_ratio 0.5."""
+    env = mpe.make("simple_reference_v3")
+    key = jax.random.PRNGKey(0)
+    s, _ = env.reset(key)
+    s = s.replace(
+        agent_pos=jnp.array([[0.0, 0.0], [1.0, 0.0]]),
+        agent_vel=jnp.zeros((2, 2)),
+        landmark_pos=jnp.array([[1.0, 0.0], [-1.0, 0.0], [0.0, 1.0]]),
+        goal=jnp.array([0, 1]),  # agent1 must reach lm0; agent0 lm1
+    )
+    # goal colors in obs: agent 0 sees onehot(lm0)-coded color
+    obs = np.asarray(env._obs(s))
+    np.testing.assert_allclose(obs[0, 8:11], [0.75, 0.25, 0.25])
+    np.testing.assert_allclose(obs[1, 8:11], [0.25, 0.75, 0.25])
+    # both stop (action 0): positions decay-only, velocities zero, so
+    # post-step positions equal the set positions
+    s2, ts = env.step(s, jnp.array([0, 0], jnp.int32), key)
+    # local0 = -d^2(agent1, lm0) = 0; local1 = -d^2(agent0, lm1) = -1
+    expected = 0.5 * 0.0 + 0.5 * np.mean([0.0, -1.0])
+    np.testing.assert_allclose(float(ts.reward), expected, rtol=1e-6)
