@@ -17,6 +17,12 @@ import json
 import os
 import time
 
+# the SISL wheel imports pygame, which demands a display/runtime dir
+# even headless — give it dummies before anything imports it
+os.environ.setdefault("SDL_VIDEODRIVER", "dummy")
+os.environ.setdefault("SDL_AUDIODRIVER", "dummy")
+os.environ.setdefault("XDG_RUNTIME_DIR", "/tmp")
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 KW = dict(
