@@ -62,14 +62,26 @@ def bench(env_type: str, env_family: str = "mpe") -> dict:
 
 
 def main():
-    rows = [bench("pursuit"), bench("pz", "sisl")]
+    # One path per invocation, row appended immediately — the two paths
+    # want different backends: the pure-JAX port runs on the TPU; the
+    # host io_callback path runs on the CPU backend (the host env IS
+    # CPU-side Python, and io_callback host round trips are not
+    # supported through the remote-TPU tunnel used in this image).
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--path", choices=["pursuit", "host"], default="pursuit")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    row = bench("pursuit") if args.path == "pursuit" else bench("pz", "sisl")
     out_path = os.path.join(REPO, "validation", "bench_host_env.jsonl")
     with open(out_path, "a") as f:
-        for r in rows:
-            print(json.dumps(r), flush=True)
-            f.write(json.dumps(r) + "\n")
-    fast, slow = rows[0]["steps_per_s"], rows[1]["steps_per_s"]
-    print(f"pure-JAX/host ratio: {fast / max(slow, 1e-9):,.0f}x")
+        print(json.dumps(row), flush=True)
+        f.write(json.dumps(row) + "\n")
 
 
 if __name__ == "__main__":

@@ -424,6 +424,21 @@ CONFIGS = {
         threshold=0.6,   # r4 tail 0.95-0.97
         metric="eval/battle_won",
     ),
+    # round-5 MPE addition: the referential game (both-ways speaker/
+    # listener, Discrete(50) move x comm). Curve r5/mappo_reference.jsonl:
+    # random -40 -> tail5 -14.4 at 2M steps (consistent with the
+    # MADDPG-paper-era results on cooperative communication)
+    "mappo_reference": dict(
+        algo="mappo",
+        kwargs=dict(
+            env_type="mpe", env_name="simple_reference_v3",
+            num_envs=64, total_timesteps=2_000_000,
+            learning_rate_actor=5e-4, learning_rate_critic=5e-4,
+            entropy_coef=0.01, anneal_entropy=True, epochs=4,
+            normalize_advantage=True, log_interval=8,
+        ),
+        threshold=-20.0,  # validated tail5 -14.4; random -40
+    ),
     "coma_lbf": dict(
         algo="coma",
         kwargs=dict(
